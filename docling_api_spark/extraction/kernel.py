@@ -1,0 +1,681 @@
+"""Deterministic main-content extraction kernels.
+
+From-scratch rebuild of the observable contract of the reference's
+conversion core (docling-api configures Docling in
+deployments/modal/modal_docling.py:80-264; capabilities listed in
+README.md:7-10): payload -> structured node tree -> content/boilerplate
+classification -> markdown + span offsets + page count, with per-document
+error capsuling (modal_docling.py:259-264).
+
+This module is PURE PYTHON + numpy, no Spark imports. The SAME functions
+back both the single-node oracle (golden fixtures, pytest) and the
+``mapInPandas`` batch UDFs — so Spark-vs-oracle equality tests the Spark
+plumbing (ordering, batching, Arrow encoding), not two divergent
+implementations.
+
+Determinism rules (SURVEY.md §4.3): no wall clock, no randomness, no
+dict-order leaks, no batch-boundary dependence — each document's result
+is a function of its own text only.
+
+Payload classes handled (FIXTURES.md §2):
+  html / markdown / plain / pdfish-base64 / empty / oversize /
+  needs-OCR sentinel (pass-through, status='skipped_ocr' — OCR & VLM are
+  explicit non-goals, cf. modal_docling.py:162-179 OCR config) /
+  malformed (best-effort parse or error capsule).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import html as _html
+import re
+import unicodedata
+
+# ---------------------------------------------------------------------------
+# Constants (mirror the reference's documented limits)
+# ---------------------------------------------------------------------------
+
+# reference: max upload 100 MB (api/config.py:56-59). For text payloads in
+# the transcripts table we cap characters per turn; larger rows become error
+# rows, never crashes (P7).
+MAX_PAYLOAD_CHARS = 65_536
+
+# sentinel marking a scanned-image payload that would need OCR (C4 non-goal)
+OCR_SENTINEL = "%OCR-IMAGE%"
+
+# magic header of the synthetic "pdf-like" layout format (FIXTURES.md §2)
+PDFISH_MAGIC = "%PDFISH"
+
+STATUS_SUCCESS = "success"
+STATUS_ERROR = "error"
+STATUS_SKIPPED_OCR = "skipped_ocr"
+
+# ---------------------------------------------------------------------------
+# Precompiled automata (module-level: loaded once per Python worker, the
+# executor-side analog of the reference's model-cache volume S8)
+# ---------------------------------------------------------------------------
+
+_SCANNER = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.DOTALL)
+_TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_BASE64_RE = re.compile(r"[A-Za-z0-9+/]+={0,2}")
+_MD_MARKER = re.compile(r"^(#{1,6} |```|[-*] |\d+\. )", re.MULTILINE)
+_HTML_HINT = re.compile(r"<[a-zA-Z!/]")
+_WS_RE = re.compile(r"\s+")
+_BLANK_RE = re.compile(r"\n\s*\n")
+
+_HEADING_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_BLOCK_TAGS = frozenset(
+    ["p", "li", "pre", "blockquote", "caption", "div", "section", "article",
+     "main", "body", "html", "ul", "ol", "table", "tr", "td", "th",
+     "thead", "tbody", "tfoot", "figure", "figcaption", "dt", "dd", "dl",
+     "h1", "h2", "h3", "h4", "h5", "h6", "br", "hr"]
+)
+_CHROME_TAGS = frozenset(["nav", "header", "footer", "aside"])
+_SKIP_TAGS = frozenset(["script", "style", "noscript", "template", "head", "svg"])
+_VOID_TAGS = frozenset(["br", "hr", "img", "meta", "link", "input", "source", "col", "area", "base", "embed", "param", "track", "wbr"])
+
+# Boilerplate thresholds (the Readability/Boilerpipe/JusText density family;
+# tuned as fixed deterministic constants — C2)
+_LINK_DENSITY_MAX = 0.55
+_SHORT_BLOCK_CHARS = 25
+_SHORT_LINK_DENSITY_MAX = 0.30
+
+
+def _norm(s: str) -> str:
+    """Whitespace-collapse + NFC — the single normalization used everywhere."""
+    return unicodedata.normalize("NFC", _WS_RE.sub(" ", s).strip())
+
+
+# ---------------------------------------------------------------------------
+# Payload sniffing (S4 — format detection; reference picks a parser by file
+# extension at modal_docling.py:393; we sniff content)
+# ---------------------------------------------------------------------------
+
+def sniff_kind(text: str | None) -> str:
+    if text is None or text.strip() == "":
+        return "empty"
+    if len(text) > MAX_PAYLOAD_CHARS:
+        return "oversize"
+    if text.startswith(OCR_SENTINEL):
+        return "needs_ocr"
+    stripped = text.strip().replace("\n", "")
+    if (
+        len(stripped) >= 64
+        and len(stripped) % 4 == 0
+        and _BASE64_RE.fullmatch(stripped)
+    ):
+        return "b64"
+    if "<" in text and _HTML_HINT.search(text):
+        return "html"
+    if _MD_MARKER.search(text):
+        return "markdown"
+    return "plain"
+
+
+# ---------------------------------------------------------------------------
+# C1: HTML single-pass tag scanner -> flattened block list
+# ---------------------------------------------------------------------------
+
+class _Block:
+    __slots__ = ("node_id", "kind", "parts", "link_len", "depth", "chrome",
+                 "start", "end", "level", "list_depth", "list_idx", "ordered",
+                 "raw_parts")
+
+    def __init__(self, node_id: int, kind: str, depth: int, chrome: bool):
+        self.node_id = node_id
+        self.kind = kind            # heading/para/list/code/quote/cell
+        self.parts: list[str] = []
+        self.raw_parts: list[str] = []   # for <pre>: preserve whitespace
+        self.link_len = 0
+        self.depth = depth
+        self.chrome = chrome
+        self.start = -1
+        self.end = -1
+        self.level = 0              # heading level
+        self.list_depth = 0
+        self.list_idx = 0
+        self.ordered = False
+
+    def text(self) -> str:
+        return _norm("".join(self.parts))
+
+    def text_len(self) -> int:
+        return len(self.text())
+
+
+class _Table:
+    __slots__ = ("node_id", "rows", "cur_row", "header_rows", "in_thead",
+                 "chrome", "start", "end")
+
+    def __init__(self, node_id: int, chrome: bool):
+        self.node_id = node_id
+        self.rows: list[list[str]] = []
+        self.cur_row: list[str] | None = None
+        self.header_rows = 0
+        self.in_thead = False
+        self.chrome = chrome
+        self.start = -1
+        self.end = -1
+
+
+def _parse_html(text: str):
+    """One pass over the byte-stream; emits blocks and tables in document
+    order. Best-effort on malformed input (stray '<', unclosed tags,
+    bogus entities) — mirrors Docling's never-crash posture (C10)."""
+    nodes: list[object] = []          # _Block | _Table in doc order
+    stack: list[str] = []
+    skip_depth = 0
+    chrome_depth = 0
+    a_depth = 0
+    list_stack: list[list] = []       # [tag, counter]
+    table_stack: list[_Table] = []
+    cell: _Block | None = None        # current td/th content collector
+    cur: _Block | None = None
+    next_id = 0
+
+    def open_block(kind: str, level: int = 0) -> _Block:
+        nonlocal next_id, cur
+        b = _Block(next_id, kind, len(stack), chrome_depth > 0)
+        b.level = level
+        next_id += 1
+        cur = b
+        nodes.append(b)
+        return b
+
+    def close_block():
+        nonlocal cur
+        cur = None
+
+    for m in _SCANNER.finditer(text):
+        tok = m.group(0)
+        if tok.startswith("<!--"):
+            continue
+        if tok.startswith("<"):
+            tm = _TAG_NAME.match(tok)
+            if not tm:
+                continue  # <!doctype>, <?...>, garbage
+            name = tm.group(1).lower()
+            closing = tok.startswith("</")
+            selfclose = tok.endswith("/>") or name in _VOID_TAGS
+            if not closing:
+                if name in _SKIP_TAGS:
+                    if not selfclose:
+                        stack.append(name)
+                        skip_depth += 1
+                    continue
+                if skip_depth:
+                    if not selfclose:
+                        stack.append(name)
+                    continue
+                if name in _CHROME_TAGS:
+                    stack.append(name)
+                    chrome_depth += 1
+                    close_block()
+                    continue
+                if name == "a":
+                    a_depth += 1
+                    stack.append(name)
+                    continue
+                if name == "table":
+                    close_block()
+                    nonlocal_t = _Table(next_id, chrome_depth > 0)
+                    next_id += 1
+                    table_stack.append(nonlocal_t)
+                    nodes.append(nonlocal_t)
+                    stack.append(name)
+                    continue
+                if table_stack and name in ("thead", "tbody", "tfoot", "tr", "td", "th"):
+                    t = table_stack[-1]
+                    if name == "thead":
+                        t.in_thead = True
+                    elif name == "tr":
+                        t.cur_row = []
+                    elif name in ("td", "th"):
+                        if t.cur_row is None:
+                            t.cur_row = []
+                        cell = _Block(-1, "cell", len(stack), t.chrome)
+                        cur = cell
+                    stack.append(name)
+                    continue
+                if name in ("ul", "ol"):
+                    close_block()
+                    list_stack.append([name, 0])
+                    stack.append(name)
+                    continue
+                if name == "li":
+                    lst = list_stack[-1] if list_stack else ["ul", 0]
+                    lst[1] += 1
+                    b = open_block("list")
+                    b.list_depth = max(1, len(list_stack))
+                    b.list_idx = lst[1]
+                    b.ordered = lst[0] == "ol"
+                    stack.append(name)
+                    continue
+                if name in _HEADING_TAGS:
+                    open_block("heading", _HEADING_TAGS[name])
+                    stack.append(name)
+                    continue
+                if name == "title":
+                    open_block("heading", 1)
+                    stack.append(name)
+                    continue
+                if name == "pre":
+                    open_block("code")
+                    stack.append(name)
+                    continue
+                if name == "blockquote":
+                    open_block("quote")
+                    stack.append(name)
+                    continue
+                if name == "p":
+                    open_block("para")
+                    stack.append(name)
+                    continue
+                if name in ("br", "hr"):
+                    if cur is not None:
+                        cur.parts.append(" ")
+                        cur.raw_parts.append("\n")
+                    continue
+                if name in _BLOCK_TAGS:
+                    close_block()
+                    if not selfclose:
+                        stack.append(name)
+                    continue
+                # inline tag (b/i/em/strong/code/span/...)
+                if not selfclose:
+                    stack.append(name)
+                continue
+            # closing tag
+            if stack and name in stack:
+                # pop to the matching open (tolerates interleaving)
+                while stack:
+                    top = stack.pop()
+                    if top in _SKIP_TAGS:
+                        skip_depth -= 1
+                    elif top in _CHROME_TAGS:
+                        chrome_depth -= 1
+                    elif top == "a":
+                        a_depth -= 1
+                    elif top in ("ul", "ol"):
+                        if list_stack:
+                            list_stack.pop()
+                    elif top == "table":
+                        if table_stack:
+                            t = table_stack.pop()
+                            if t.cur_row:
+                                t.rows.append(t.cur_row)
+                                t.cur_row = None
+                    elif top == "thead":
+                        if table_stack:
+                            table_stack[-1].in_thead = False
+                    elif top == "tr":
+                        if table_stack:
+                            t = table_stack[-1]
+                            if t.cur_row is not None:
+                                t.rows.append(t.cur_row)
+                                if t.in_thead or (name == "tr" and _tr_was_header(t)):
+                                    t.header_rows = len(t.rows)
+                                t.cur_row = None
+                    elif top in ("td", "th"):
+                        if table_stack and cell is not None:
+                            t = table_stack[-1]
+                            if t.cur_row is None:
+                                t.cur_row = []
+                            t.cur_row.append(cell.text())
+                            if cell.start >= 0:
+                                if t.start < 0:
+                                    t.start = cell.start
+                                t.end = max(t.end, cell.end)
+                            cell = None
+                            cur = None
+                    if top in _BLOCK_TAGS or top in _HEADING_TAGS or top == "title":
+                        close_block()
+                    if top == name:
+                        break
+            continue
+        # text token
+        if skip_depth:
+            continue
+        raw = tok
+        unescaped = _html.unescape(raw)
+        if cur is None:
+            if unescaped.strip() == "":
+                continue
+            b = open_block("para")
+        else:
+            b = cur
+        if b.start < 0 and unescaped.strip():
+            lead_ws = len(raw) - len(raw.lstrip())
+            b.start = m.start() + lead_ws
+        if unescaped.strip():
+            trail_ws = len(raw) - len(raw.rstrip())
+            b.end = m.end() - trail_ws
+        b.parts.append(unescaped)
+        b.raw_parts.append(unescaped)
+        if a_depth > 0:
+            b.link_len += len(_norm(unescaped))
+    # flush trailing row
+    if table_stack:
+        t = table_stack[-1]
+        if t.cur_row:
+            t.rows.append(t.cur_row)
+    return nodes
+
+
+def _tr_was_header(t: _Table) -> bool:
+    # first row of a table with no thead: treated as header at emission
+    return False
+
+
+# ---------------------------------------------------------------------------
+# C2: boilerplate classification  +  C6: markdown emission  +  C8: spans
+# ---------------------------------------------------------------------------
+
+def _classify_block(b: _Block) -> bool:
+    """True => main content (kept)."""
+    if b.chrome:
+        return False  # Docling 'furniture': nav/header/footer/aside
+    tl = b.text_len()
+    if tl == 0:
+        return False
+    if b.kind in ("heading", "code"):
+        return True
+    ld = b.link_len / tl if tl else 0.0
+    if ld >= _LINK_DENSITY_MAX:
+        return False
+    if tl < _SHORT_BLOCK_CHARS and ld >= _SHORT_LINK_DENSITY_MAX:
+        return False
+    return True
+
+
+def _emit_table(t: _Table) -> str:
+    if not t.rows:
+        return ""
+    ncols = max(len(r) for r in t.rows)
+    header_rows = t.header_rows if t.header_rows > 0 else 1
+    lines = []
+
+    def fmt(row):
+        padded = list(row) + [""] * (ncols - len(row))
+        cells = [c.replace("|", "\\|") for c in padded]
+        return "| " + " | ".join(cells) + " |"
+
+    for i, row in enumerate(t.rows):
+        lines.append(fmt(row))
+        if i == header_rows - 1:
+            lines.append("| " + " | ".join(["---"] * ncols) + " |")
+    return "\n".join(lines)
+
+
+def _extract_html(text: str):
+    nodes = _parse_html(text)
+    out_parts: list[str] = []
+    spans: list[tuple[int, int, int, str]] = []
+    n_nodes = 0
+    for node in nodes:
+        n_nodes += 1
+        if isinstance(node, _Table):
+            if node.chrome or not node.rows:
+                continue
+            md = _emit_table(node)
+            if not md:
+                continue
+            out_parts.append(md)
+            spans.append((max(node.start, 0), max(node.end, 0), node.node_id, "table"))
+            continue
+        b = node
+        if not _classify_block(b):
+            continue
+        if b.kind == "heading":
+            md = "#" * max(1, min(6, b.level)) + " " + b.text()
+        elif b.kind == "list":
+            indent = "  " * (b.list_depth - 1)
+            marker = f"{b.list_idx}." if b.ordered else "-"
+            md = f"{indent}{marker} {b.text()}"
+        elif b.kind == "code":
+            inner = unicodedata.normalize("NFC", "".join(b.raw_parts)).strip("\n")
+            md = "```\n" + inner + "\n```"
+        elif b.kind == "quote":
+            md = "> " + b.text()
+        else:
+            md = b.text()
+        out_parts.append(md)
+        spans.append((b.start, b.end, b.node_id, b.kind))
+    return "\n\n".join(out_parts), spans, 1, n_nodes
+
+
+# ---------------------------------------------------------------------------
+# pdfish: synthetic page-layout format (C1 layout parse + C9 page count)
+# ---------------------------------------------------------------------------
+
+def _extract_pdfish(decoded: str):
+    """Parse the deterministic '%PDFISH' layout text: page markers,
+    per-page repeated header/footer furniture in <<...>> lines,
+    #TITLE/#H2/#H3 headings, blank-line-separated paragraphs.
+    Span offsets refer to the DECODED payload (documented contract —
+    base64 offsets are meaningless to a consumer)."""
+    pages = 0
+    out_parts: list[str] = []
+    spans: list[tuple[int, int, int, str]] = []
+    node_id = 0
+    para_lines: list[str] = []
+    para_start = -1
+    pos = 0
+
+    def flush(end_pos: int):
+        nonlocal para_lines, para_start, node_id
+        if para_lines:
+            txt = _norm(" ".join(para_lines))
+            if txt:
+                out_parts.append(txt)
+                spans.append((para_start, end_pos, node_id, "para"))
+                node_id += 1
+            para_lines = []
+            para_start = -1
+
+    for line in decoded.split("\n"):
+        ls = line.strip()
+        line_start = pos
+        pos += len(line) + 1
+        if ls.startswith("%PAGE"):
+            flush(line_start - 1)
+            pages += 1
+            continue
+        if ls.startswith("%") or (ls.startswith("<<") and ls.endswith(">>")):
+            flush(line_start - 1)
+            continue  # furniture: repeated page header/footer
+        if ls.startswith("#TITLE "):
+            flush(line_start - 1)
+            out_parts.append("# " + _norm(ls[7:]))
+            spans.append((line_start, line_start + len(line.rstrip()), node_id, "heading"))
+            node_id += 1
+            continue
+        if ls.startswith("#H2 ") or ls.startswith("#H3 "):
+            flush(line_start - 1)
+            lvl = 2 if ls.startswith("#H2") else 3
+            out_parts.append("#" * lvl + " " + _norm(ls[4:]))
+            spans.append((line_start, line_start + len(line.rstrip()), node_id, "heading"))
+            node_id += 1
+            continue
+        if ls == "":
+            flush(line_start - 1)
+            continue
+        if para_start < 0:
+            para_start = line_start + (len(line) - len(line.lstrip()))
+        para_lines.append(ls)
+    flush(len(decoded))
+    return "\n\n".join(out_parts), spans, max(1, pages), node_id
+
+
+# ---------------------------------------------------------------------------
+# markdownish: near-passthrough with deterministic normalization
+# ---------------------------------------------------------------------------
+
+def _extract_markdown(text: str):
+    lines = text.split("\n")
+    blocks: list[tuple[str, int, int, str]] = []  # (text, start, end, kind)
+    buf: list[str] = []
+    buf_start = -1
+    buf_end = -1
+    in_fence = False
+    pos = 0
+
+    def kind_of(first_line: str, fenced: bool) -> str:
+        if fenced:
+            return "code"
+        s = first_line.lstrip()
+        if re.match(r"^#{1,6} ", s):
+            return "heading"
+        if re.match(r"^([-*] |\d+\. )", s):
+            return "list"
+        if s.startswith("> "):
+            return "quote"
+        return "para"
+
+    def flush(fenced: bool):
+        nonlocal buf, buf_start, buf_end
+        if buf:
+            body = "\n".join(ln.rstrip() for ln in buf).strip("\n")
+            if body.strip():
+                blocks.append((unicodedata.normalize("NFC", body), buf_start, buf_end, kind_of(buf[0], fenced)))
+            buf = []
+            buf_start = -1
+
+    for line in lines:
+        line_start = pos
+        pos += len(line) + 1
+        fence_line = line.lstrip().startswith("```")
+        if fence_line:
+            if not in_fence:
+                flush(False)
+                in_fence = True
+                buf_start = line_start
+            buf.append(line)
+            buf_end = line_start + len(line.rstrip())
+            if fence_line and in_fence and len(buf) > 1:
+                in_fence = False
+                flush(True)
+            continue
+        if in_fence:
+            buf.append(line)
+            buf_end = line_start + len(line.rstrip())
+            continue
+        if line.strip() == "":
+            flush(False)
+            continue
+        if buf_start < 0:
+            buf_start = line_start + (len(line) - len(line.lstrip()))
+        buf.append(line)
+        buf_end = line_start + len(line.rstrip())
+    flush(in_fence)
+    out = "\n\n".join(b[0] for b in blocks)
+    spans = [(b[1], b[2], i, b[3]) for i, b in enumerate(blocks)]
+    return out, spans, 1, len(blocks)
+
+
+# ---------------------------------------------------------------------------
+# plain prose
+# ---------------------------------------------------------------------------
+
+def _extract_plain(text: str):
+    spans: list[tuple[int, int, int, str]] = []
+    out_parts: list[str] = []
+    node_id = 0
+    idx = 0
+    for para in _BLANK_RE.split(text):
+        if para.strip():
+            start = text.index(para, idx) if para in text[idx:] else idx
+            lead = len(para) - len(para.lstrip())
+            trail = len(para) - len(para.rstrip())
+            out_parts.append(_norm(para))
+            spans.append((start + lead, start + len(para) - trail, node_id, "para"))
+            node_id += 1
+            idx = start + len(para)
+        else:
+            idx += len(para)
+    return "\n\n".join(out_parts), spans, 1, node_id
+
+
+# ---------------------------------------------------------------------------
+# Top level: per-document dispatch with error capsuling (C10)
+# ---------------------------------------------------------------------------
+
+_EMPTY = {"extracted_text": "", "spans": [], "pages": 1, "n_nodes": 0}
+
+
+def extract_one(text: str | None) -> dict:
+    """Extract a single payload. NEVER raises — any internal failure
+    becomes a status='error' capsule (reference modal_docling.py:259-264)."""
+    try:
+        kind = sniff_kind(text)
+        if kind == "empty":
+            return {"status": STATUS_SUCCESS, "payload_kind": "empty",
+                    "error": None, **_EMPTY}
+        if kind == "oversize":
+            return {"status": STATUS_ERROR, "payload_kind": "oversize",
+                    "error": f"payload_too_large: {len(text)} > {MAX_PAYLOAD_CHARS}",
+                    **_EMPTY}
+        if kind == "needs_ocr":
+            return {"status": STATUS_SKIPPED_OCR, "payload_kind": "needs_ocr",
+                    "error": None, **_EMPTY}
+        if kind == "b64":
+            try:
+                raw = base64.b64decode(text.strip().replace("\n", ""), validate=True)
+                decoded = raw.decode("utf-8")
+            except (binascii.Error, UnicodeDecodeError) as e:
+                return {"status": STATUS_ERROR, "payload_kind": "b64",
+                        "error": f"invalid_base64_payload: {type(e).__name__}",
+                        **_EMPTY}
+            if decoded.startswith(PDFISH_MAGIC):
+                out, spans, pages, n = _extract_pdfish(decoded)
+                return {"status": STATUS_SUCCESS, "payload_kind": "pdfish",
+                        "extracted_text": out, "spans": spans, "pages": pages,
+                        "n_nodes": n, "error": None}
+            # decodable base64 but unknown magic -> treat decoded as plain
+            out, spans, pages, n = _extract_plain(decoded)
+            return {"status": STATUS_SUCCESS, "payload_kind": "b64_plain",
+                    "extracted_text": out, "spans": spans, "pages": pages,
+                    "n_nodes": n, "error": None}
+        if kind == "html":
+            out, spans, pages, n = _extract_html(text)
+            return {"status": STATUS_SUCCESS, "payload_kind": "html",
+                    "extracted_text": out, "spans": spans, "pages": pages,
+                    "n_nodes": n, "error": None}
+        if kind == "markdown":
+            out, spans, pages, n = _extract_markdown(text)
+            return {"status": STATUS_SUCCESS, "payload_kind": "markdown",
+                    "extracted_text": out, "spans": spans, "pages": pages,
+                    "n_nodes": n, "error": None}
+        out, spans, pages, n = _extract_plain(text)
+        return {"status": STATUS_SUCCESS, "payload_kind": "plain",
+                "extracted_text": out, "spans": spans, "pages": pages,
+                "n_nodes": n, "error": None}
+    except Exception as e:  # noqa: BLE001 — capsule, never crash the batch
+        return {"status": STATUS_ERROR, "payload_kind": "unknown",
+                "error": f"{type(e).__name__}: {e}", **_EMPTY}
+
+
+def extract_records(texts) -> dict[str, list]:
+    """Batch kernel: iterable of payload strings -> column lists.
+
+    This is the unit that runs once per Arrow record batch inside
+    ``mapInPandas`` — vectorized at the batch level, zero Spark-row
+    Python calls."""
+    cols: dict[str, list] = {
+        "status": [], "payload_kind": [], "extracted_text": [],
+        "spans": [], "pages": [], "n_nodes": [], "error": [],
+    }
+    for t in texts:
+        r = extract_one(t)
+        cols["status"].append(r["status"])
+        cols["payload_kind"].append(r["payload_kind"])
+        cols["extracted_text"].append(r["extracted_text"])
+        cols["spans"].append(
+            [{"start": s[0], "end": s[1], "node_id": s[2], "kind": s[3]}
+             for s in r["spans"]]
+        )
+        cols["pages"].append(r["pages"])
+        cols["n_nodes"].append(r["n_nodes"])
+        cols["error"].append(r["error"])
+    return cols
