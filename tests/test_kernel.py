@@ -1,0 +1,190 @@
+"""Unit tests for the extraction kernels (SURVEY.md §5.2.2), one block per
+operator family C1-C3 / C6 / C8-C10 plus payload sniffing (S4)."""
+
+from __future__ import annotations
+
+import base64
+
+from docling_api_spark.extraction.kernel import (
+    MAX_PAYLOAD_CHARS,
+    OCR_SENTINEL,
+    extract_one,
+    sniff_kind,
+)
+
+
+# --- S4: payload sniffing ---------------------------------------------------
+
+def test_sniff_kinds():
+    assert sniff_kind(None) == "empty"
+    assert sniff_kind("   \n") == "empty"
+    assert sniff_kind("x" * (MAX_PAYLOAD_CHARS + 1)) == "oversize"
+    assert sniff_kind(OCR_SENTINEL + " blob") == "needs_ocr"
+    assert sniff_kind("<html><p>hi</p></html>") == "html"
+    assert sniff_kind("# Title\n\nbody") == "markdown"
+    assert sniff_kind("just some plain words") == "plain"
+    b64 = base64.b64encode(
+        b"%PDFISH-1.0\n%PAGE 1\nhello world line of sufficient length here"
+    ).decode()
+    assert sniff_kind(b64) == "b64"
+    # a long single word is NOT base64 (len % 4 != 0 or < 64 chars)
+    assert sniff_kind("Pneumonoultramicroscopicsilicovolcanoconiosis") == "plain"
+
+
+# --- C1/C2: tokenizer + boilerplate classifier -------------------------------
+
+def test_html_boilerplate_stripped():
+    html = (
+        "<html><body><nav><a href='/'>Home</a> <a href='/x'>X</a></nav>"
+        "<header><h1>Site Chrome</h1></header>"
+        "<main><h1>Real Title</h1>"
+        "<p>This paragraph is long enough to be kept as main content.</p></main>"
+        "<footer>Copyright</footer></body></html>"
+    )
+    r = extract_one(html)
+    assert r["status"] == "success"
+    assert "Site Chrome" not in r["extracted_text"]
+    assert "Home" not in r["extracted_text"]
+    assert "Copyright" not in r["extracted_text"]
+    assert r["extracted_text"].startswith("# Real Title")
+    assert "long enough to be kept" in r["extracted_text"]
+
+
+def test_link_density_classifier():
+    farm = " ".join(f"<a href='/{i}'>link {i}</a>" for i in range(12))
+    html = f"<body><div>{farm}</div><p>Real content sentence that is long enough to keep here.</p></body>"
+    r = extract_one(html)
+    assert "link 3" not in r["extracted_text"]
+    assert "Real content sentence" in r["extracted_text"]
+
+
+def test_entities_and_inline_tags():
+    r = extract_one("<p>A &amp; B &lt;c&gt; <b>bold</b> &#233;t&eacute; and more words here</p>")
+    assert r["extracted_text"] == "A & B <c> bold été and more words here"
+
+
+# --- C3: table structure -> pipe tables --------------------------------------
+
+def test_table_markdown():
+    html = (
+        "<table><thead><tr><th>A</th><th>B</th></tr></thead>"
+        "<tbody><tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></tbody></table>"
+    )
+    r = extract_one(html)
+    lines = r["extracted_text"].split("\n")
+    assert lines[0] == "| A | B |"
+    assert lines[1] == "| --- | --- |"
+    assert lines[2] == "| 1 | 2 |"
+    assert lines[3] == "| 3 | 4 |"
+    assert r["spans"][0][3] == "table"
+
+
+def test_table_no_thead_first_row_header():
+    html = "<table><tr><td>h1</td><td>h2</td></tr><tr><td>a</td><td>b</td></tr></table>"
+    r = extract_one(html)
+    lines = r["extracted_text"].split("\n")
+    assert lines[1] == "| --- | --- |"
+
+
+def test_table_pipe_escaping():
+    html = "<table><tr><td>a|b</td><td>c</td></tr></table>"
+    r = extract_one(html)
+    assert "a\\|b" in r["extracted_text"]
+
+
+# --- C6: markdown emission (lists, code, quote) ------------------------------
+
+def test_lists_ordered_and_unordered():
+    html = "<ul><li>first item words</li><li>second item words</li></ul><ol><li>alpha beta gamma</li><li>delta epsilon zeta</li></ol>"
+    r = extract_one(html)
+    assert "- first item words" in r["extracted_text"]
+    assert "1. alpha beta gamma" in r["extracted_text"]
+    assert "2. delta epsilon zeta" in r["extracted_text"]
+
+
+def test_pre_preserves_whitespace():
+    html = "<pre>line one\n  indented two</pre>"
+    r = extract_one(html)
+    assert "```\nline one\n  indented two\n```" == r["extracted_text"]
+
+
+# --- C8: span offsets point into the raw input --------------------------------
+
+def test_span_offsets_html():
+    html = "<body><p>keep this sentence of main content text</p></body>"
+    r = extract_one(html)
+    (start, end, _nid, kind) = r["spans"][0]
+    assert html[start:end] == "keep this sentence of main content text"
+    assert kind == "para"
+
+
+def test_span_offsets_plain():
+    text = "first paragraph here\n\nsecond paragraph there"
+    r = extract_one(text)
+    assert [text[s:e] for s, e, _, _ in r["spans"]] == [
+        "first paragraph here", "second paragraph there",
+    ]
+
+
+# --- C9: page counting --------------------------------------------------------
+
+def test_pdfish_pages_and_furniture():
+    doc = (
+        "%PDFISH-1.0\n%PAGE 1\n<<HEADER Rpt>>\n#TITLE T\nbody text one\n"
+        "<<FOOTER 1>>\n%PAGE 2\n<<HEADER Rpt>>\nbody text two\n<<FOOTER 2>>"
+    )
+    r = extract_one(base64.b64encode(doc.encode()).decode())
+    assert r["pages"] == 2
+    assert r["payload_kind"] == "pdfish"
+    assert "HEADER" not in r["extracted_text"]
+    assert "# T" in r["extracted_text"]
+    assert "body text one" in r["extracted_text"]
+
+
+def test_pages_floor_is_one():
+    assert extract_one("plain words")["pages"] == 1
+    assert extract_one("")["pages"] == 1
+
+
+# --- C10: error capsuling ------------------------------------------------------
+
+def test_oversize_is_error_row():
+    r = extract_one("y " * (MAX_PAYLOAD_CHARS // 2 + 10))
+    assert r["status"] == "error"
+    assert "payload_too_large" in r["error"]
+
+
+def test_corrupt_base64_is_error_row():
+    raw = bytes([0xFF, 0xFE]) + b"\x00" * 46
+    r = extract_one(base64.b64encode(raw).decode())
+    assert r["status"] == "error"
+    assert "invalid_base64" in r["error"]
+
+
+def test_needs_ocr_pass_through():
+    r = extract_one(OCR_SENTINEL + " blob")
+    assert r["status"] == "skipped_ocr"
+    assert r["error"] is None
+
+
+def test_malformed_html_best_effort():
+    r = extract_one("<div><p>ok words here more <span>unclosed <p>next paragraph words</div> tail")
+    assert r["status"] == "success"
+    assert "ok words here" in r["extracted_text"]
+
+
+def test_never_raises():
+    for bad in ["", None, "<", "<<<>>>", "&#xZZ;", "\x00\x01", "a" * 100]:
+        r = extract_one(bad)
+        assert r["status"] in ("success", "error", "skipped_ocr")
+
+
+# --- determinism ---------------------------------------------------------------
+
+def test_extract_is_pure():
+    from docling_api_spark.gen import payload_for
+
+    for conv in range(5):
+        for turn in range(5):
+            _, text = payload_for(42, conv, turn)
+            assert extract_one(text) == extract_one(text)
