@@ -1,38 +1,759 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over sf0.001 documents.
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline operators).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+query; extraction / hash-based / UDF-backed ops are rows-only.
+
+Determinism rules: fixed literal timestamps (never now()), explicit
+tiebreakers on every limit, rounded floats on every aggregate that
+crosses engines.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# fixed "as of" instant for window predicates (events span early 2024)
+AS_OF = "2024-02-15 00:00:00"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — main-content extraction over the documents table
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from docling_api_spark.operators.extract import extract_text_column
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    out = extract_text_column(docs, keep_cols=["doc_id", "lang", "source"])
+    # stable output projection (spans kept as typed array column)
+    return out.select(
+        "doc_id", "lang", "source", "status", "payload_kind",
+        "extracted_text", "spans", "pages", "n_nodes", "error",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-family rollup, TPC-H Q1 shape (multi-agg groupBy; map-side
+    partial agg; scan prunes to 7 columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def a1_total_value_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+P3: success filter then total (reference documents.py:76-78)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n_success"),
+    )
+
+
+def a2_credit_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: credits = max(pages*cpp, min) (reference documents.py:35-41),
+    pages ~ l_quantity; rolled up per return flag."""
+    from docling_api_spark.operators.metering import credits_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("credits", credits_col(F.floor("l_quantity")))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("credits").alias("total_credits"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def a3_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+def a4_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-key usage stats (key_service.py:166-180 shape)."""
+    from docling_api_spark.operators.metering import usage_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    r = usage_rollup(ev, "user_id", "value", time_col="ts")
+    return r.select(
+        "user_id", "n_requests",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        "first_seen", "last_seen",
+    )
+
+
+def a5_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: stateless re-derivation of per-key counters + broadcast join
+    back to the dimension (db_models.py:105-121 semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("documents_processed"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+    )
+    return (
+        agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey, "inner")
+        .select("c_custkey", "c_name", "documents_processed", "total_spent")
+    )
+
+
+def p4_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: fixed 30-day window filter (key_service.py:152-161)."""
+    from docling_api_spark.operators.metering import time_window_filter
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        time_window_filter(ev, "ts", AS_OF, 30)
+        .filter(F.col("ts") < F.to_timestamp(F.lit(AS_OF)))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .orderBy("event_type")
+    )
+
+
+def p7_bounds_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: bounds validation as filters (routes/documents.py:171-176)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_totalprice") > 0)
+            & (F.col("o_totalprice") <= 500000)
+            & F.col("o_orderstatus").isin("O", "F", "P")
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def j1_fk_rollup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: usage ⋈ keys FK equi-join, keys broadcast (db_models.py:135)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def j3_idempotency_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: anti-join dedup before append (stripe_service.py:214-218):
+    users who have never produced an 'error' event."""
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        ev.select("user_id").distinct()
+        .join(errs, "user_id", "left_anti")
+        .orderBy("user_id")
+    )
+
+
+def j4_parity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the verification-join shape (sort-merge equi-join on the key,
+    aggregate parity stats; reference test_production.py:302)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def w1_rate_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: fixed-window rate counting (api/rate_limit.py:46-52) as a
+    tumbling per-hour count per key."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .orderBy("user_id", "hour")
+    )
+
+
+def w1_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 sliding variant: events in the preceding hour per event (range
+    frame over epoch seconds)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+def w2_turn_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: stable per-key ordering via row_number (the (conv_id, turn_idx)
+    ordering analog) — first 3 events per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("turn_rank", F.row_number().over(w))
+        .filter(F.col("turn_rank") <= 3)
+        .select("user_id", "turn_rank", "event_id", "event_type")
+    )
+
+
+def o1_latest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O3: newest-first top-100 (key_service.py:163, usage.py:94)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+def o4_preview_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: preview truncation (modal_docling.py:526)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 80).alias("preview"),
+        F.length("text").alias("text_len"),
+    )
+
+
+def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar functions: sha-256 key hashing (db_models.py:31-33),
+    base64 round-trip (docling_client.py:222-223), split/trim/lower."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+        F.base64(F.substring("text", 1, 12).cast("binary")).alias("b64_prefix"),
+        F.lower(F.substring("text", 1, 20)).alias("lower_prefix"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+
+
+def fn_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 json: opaque JSON props (schemas.py:144 analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_val", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k_val").alias("k_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (all groups reported)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over adjacent doc-id pairs (the SQL-checkable
+    slice of the n-gram dedup family)."""
+    from docling_api_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select((F.col("doc_id")).alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    return ngram_jaccard_pairs(d, pairs).orderBy("id_a")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified
+    (shingle -> minhash -> band -> bucket join; xxhash64-based, rows-only
+    oracle)."""
+    from docling_api_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.5)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only oracle: engine hash differs)."""
+    from docling_api_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash64(d).orderBy("doc_id")
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for 5 query vectors over the embeddings
+    corpus (broadcast queries, single corpus scan)."""
+    from docling_api_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb_d.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb_d, queries, k=3)
+
+
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms via higher-order aggregate (JVM-side dot products)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: LSH-bucketed cosine top-k (rows-only oracle)."""
+    from docling_api_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb_d.filter(F.col("vec_id") < 5)
+    return lsh_cosine_topk(emb_d, queries, dim=64, k=3)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_api_spark.operators.textstats import with_token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return with_token_stats(d).select("doc_id", "n_tokens", "avg_token_len")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_api_spark.operators.textstats import with_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return with_quality_score(d).select(
+        "doc_id", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_api_spark.operators.textstats import with_lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_lang_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (vectorized pandas UDF;
+    rows-only oracle)."""
+    from docling_api_spark.operators.textstats import fingerprint64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint64(F.col("text")).alias("fingerprint"))
+
+
+def extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction over the documents table (rows-only oracle —
+    per-turn equality is enforced by pytest against golden fixtures)."""
+    from docling_api_spark.operators.extract import extract_text_column
+
+    d = _t(spark, sf_dir, "documents")
+    out = extract_text_column(d, keep_cols=["doc_id"])
+    return out.select(
+        "doc_id", "status", "payload_kind", "extracted_text", "pages", "n_nodes"
+    )
+
+
+def extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transcript extraction: distributed deterministic
+    generation -> mapInPandas extraction (the north-rule pipeline)."""
+    from docling_api_spark.gen import transcripts_df
+    from docling_api_spark.operators.extract import extract_text_column
+
+    n_convs = max(30, int(30000 * _sf_of(sf_dir)))
+    t = transcripts_df(spark, n_convs)
+    out = extract_text_column(t)
+    return out.select(
+        "conv_id", "turn_idx", "role", "status", "payload_kind",
+        "extracted_text", "pages", "n_nodes", "error",
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> mapInPandas metadata
+    extraction (decode step is a deterministic fake; real codecs stubbed)."""
+    from docling_api_spark.operators.multimodal import (
+        FAKE_IMAGE_MAGIC,
+        with_image_metadata,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    binned = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(FAKE_IMAGE_MAGIC),
+            # little-endian width=64, height=32 headers, then text bytes
+            F.lit(bytes([64, 0, 0, 0, 32, 0, 0, 0])),
+            F.col("text").cast("binary"),
+        ).alias("image"),
+    )
+    out = with_image_metadata(binned)
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.n_bytes").alias("n_bytes"),
+        F.col("image_meta.mean_byte").alias("mean_byte"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "a1_total_value_success": a1_total_value_success,
+        "a2_credit_formula": a2_credit_formula,
+        "a3_status_counts": a3_status_counts,
+        "a4_usage_rollup": a4_usage_rollup,
+        "a5_running_counters": a5_running_counters,
+        "p4_time_window": p4_time_window,
+        "p7_bounds_filter": p7_bounds_filter,
+        "j1_fk_rollup_join": j1_fk_rollup_join,
+        "j3_idempotency_anti": j3_idempotency_anti,
+        "j4_parity_join": j4_parity_join,
+        "w1_rate_window_hourly": w1_rate_window_hourly,
+        "w1_sliding_count": w1_sliding_count,
+        "w2_turn_ordering": w2_turn_ordering,
+        "o1_latest_records": o1_latest_records,
+        "o4_preview_truncate": o4_preview_truncate,
+        "fn_string_family": fn_string_family,
+        "fn_json_family": fn_json_family,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_embedding_norms": sim_embedding_norms,
+        "sim_lsh_topk": sim_lsh_topk,
+        "text_token_stats": text_token_stats,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "extract_documents": extract_documents,
+        "extract_transcripts": extract_transcripts,
+        "multimodal_features": multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "a1_total_value_success": """
+            SELECT round(sum(value), 2) AS total_value, count(*) AS n_success
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "a2_credit_formula": """
+            SELECT l_returnflag,
+                   CAST(sum(greatest(CAST(floor(l_quantity) AS BIGINT) * 1, 1)) AS BIGINT) AS total_credits,
+                   count(*) AS n_docs
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "a3_status_counts": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "a4_usage_rollup": """
+            SELECT user_id, count(*) AS n_requests,
+                   round(sum(value), 2) AS total_value,
+                   round(avg(value), 4) AS avg_value,
+                   min(ts) AS first_seen, max(ts) AS last_seen
+            FROM events GROUP BY user_id
+        """,
+        "a5_running_counters": """
+            SELECT c_custkey, c_name,
+                   count(*) AS documents_processed,
+                   round(sum(o_totalprice), 2) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+        """,
+        "p4_time_window": f"""
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '{AS_OF}' - INTERVAL 30 DAYS
+              AND ts < TIMESTAMP '{AS_OF}'
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "p7_bounds_filter": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders
+            WHERE o_totalprice > 0 AND o_totalprice <= 500000
+              AND o_orderstatus IN ('O', 'F', 'P')
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "j1_fk_rollup_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "j3_idempotency_anti": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN (
+                SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            )
+            ORDER BY user_id
+        """,
+        "j4_parity_join": """
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "w1_rate_window_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_requests
+            FROM events GROUP BY user_id, date_trunc('hour', ts)
+            ORDER BY user_id, hour
+        """,
+        "w1_sliding_count": """
+            SELECT event_id, user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(epoch(ts) AS BIGINT)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                   ) AS n_last_hour
+            FROM events
+        """,
+        "w2_turn_ordering": """
+            SELECT user_id, turn_rank, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ) AS turn_rank
+                FROM events
+            ) WHERE turn_rank <= 3
+        """,
+        "o1_latest_records": """
+            SELECT event_id, user_id, event_type, ts FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 100
+        """,
+        "o4_preview_truncate": """
+            SELECT doc_id, substr(text, 1, 80) AS preview,
+                   length(text) AS text_len
+            FROM documents
+        """,
+        "fn_string_family": """
+            SELECT doc_id,
+                   sha256(text) AS content_sha,
+                   to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS b64_prefix,
+                   lower(substr(text, 1, 20)) AS lower_prefix,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "fn_json_family": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS content_hash,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY sha256(text)
+        """,
+        "dedup_ngram_jaccard": """
+            WITH grams AS (
+                SELECT doc_id,
+                       list_distinct(
+                           CASE WHEN len(toks) >= 3 THEN
+                               list_transform(
+                                   range(0, len(toks) - 2),
+                                   i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])
+                               )
+                           ELSE [array_to_string(toks, ' ')] END
+                       ) AS g
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                    FROM documents
+                )
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(
+                       len(list_intersect(a.g, b.g))::DOUBLE
+                       / greatest(len(list_distinct(list_concat(a.g, b.g))), 1),
+                       6
+                   ) AS ngram_jaccard
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a
+        """,
+        "sim_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS cand_id,
+                       round(
+                           list_dot_product(
+                               list_transform(q.qvec, x -> x::DOUBLE),
+                               list_transform(e.embedding, x -> x::DOUBLE)
+                           ) / greatest(
+                               sqrt(list_dot_product(list_transform(q.qvec, x -> x::DOUBLE),
+                                                     list_transform(q.qvec, x -> x::DOUBLE)))
+                               * sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                                       list_transform(e.embedding, x -> x::DOUBLE))),
+                               1e-12
+                           ),
+                           6
+                       ) AS cosine
+                FROM embeddings e, q
+                WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, cand_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+                ) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        "sim_embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_dot_product(
+                       list_transform(embedding, x -> x::DOUBLE),
+                       list_transform(embedding, x -> x::DOUBLE)
+                   )), 4) AS l2_norm,
+                   len(embedding) AS dim
+            FROM embeddings
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   round(
+                       length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE
+                       / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1),
+                       4
+                   ) AS avg_token_len
+            FROM documents
+        """,
+        "text_quality": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text, toks,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','a','of','and','to','in','is','it','that','for'],
+                           lower(x)))) AS n_stop,
+                       greatest(len(toks), 1) AS n_tok
+                FROM t
+            )
+            SELECT doc_id,
+                   round(n_stop::DOUBLE / n_tok, 4) AS stopword_ratio,
+                   round(
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                       / greatest(length(text), 1),
+                       4
+                   ) AS punct_ratio,
+                   round(
+                       least(length(text) / 500.0, 1.0) * 0.5
+                       + least(n_stop::DOUBLE / n_tok * 5.0, 1.0) * 0.5,
+                       4
+                   ) AS quality_score
+            FROM s
+        """,
+        "text_langid": """
+            WITH t AS (
+                SELECT lang, text,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), p AS (
+                SELECT lang,
+                       CASE
+                           WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                           WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+                           WHEN regexp_matches(text, '[\\x{0370}-\\x{03ff}]') THEN 'el'
+                           WHEN len(list_filter(toks, x -> list_contains(
+                               ['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE
+                               / greatest(len(toks), 1) >= 0.03 THEN 'en'
+                           ELSE 'und'
+                       END AS lang_pred
+                FROM t
+            )
+            SELECT lang, lang_pred, count(*) AS n FROM p
+            GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        # rows-only (non-SQL-expressible or engine-specific hashing):
+        # dedup_minhash_lsh, dedup_simhash, sim_lsh_topk, text_fingerprint,
+        # extract_documents, extract_transcripts, multimodal_features
+    }

@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+bucket-join -> verify), SimHash, and n-gram Jaccard — all expressed with
+JVM-side DataFrame ops + higher-order functions (whole-stage codegen; the
+only shuffles are the groupBys on doc/bucket keys, all partial-agg
+friendly). No Python in any hot path.
+
+Scale notes (100 TB): the LSH pattern shuffles one (band, bucket) row per
+doc per band — O(B·N) small rows, not O(N²) pairs; candidate pairs are
+generated only within buckets. Verification re-joins the two small
+candidate sides back to the docs, broadcast when the candidate set is
+small. Skewed buckets (e.g. near-empty docs) are capped via bucket-size
+limit before pair expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_HASHES = 16
+LSH_BANDS = 4  # 4 rows per band
+SHINGLE_WORDS = 5
+MAX_BUCKET = 64  # skew guard: ignore degenerate buckets bigger than this
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash; emit groups with >1 member.
+    sha2-256 the text so the shuffle key is 32 bytes, not the document."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles(text_col, n: int = SHINGLE_WORDS):
+    """Word n-gram shingles via higher-order functions (no explode yet)."""
+    toks = _tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_hashes: int = MINHASH_HASHES) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, salted by i). One explode + one groupBy — the agg is
+    a fixed-width array of mins, partial-aggregated map-side."""
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = MINHASH_HASHES,
+                        bands: int = LSH_BANDS,
+                        max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Band the signatures, bucket-join within bands, emit candidate pairs
+    (a < b). O(docs·bands) shuffle rows; pair expansion only inside
+    buckets, with a size cap against degenerate buckets."""
+    rows_per_band = n_hashes // bands
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[F.col("minhash")[b * rows_per_band + r].cast("string")
+                              for r in range(rows_per_band)],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    sorted_ids = F.array_sort("ids")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(sorted_ids) - 2),
+                    lambda i: F.transform(
+                        F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                        lambda y: F.struct(
+                            F.element_at(sorted_ids, i + 1).alias("a"),
+                            y.alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+    return pairs
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", threshold: float = 0.6) -> DataFrame:
+    """Exact token-set Jaccard on candidate pairs. The docs side is joined
+    twice; candidate sets are tiny relative to the corpus, so Catalyst/AQE
+    broadcasts the pairs."""
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(_tokens(F.col(text_col))).alias("tokset"),
+    )
+    a = toks.select(F.col(id_col).alias("id_a"), F.col("tokset").alias("tok_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col("tokset").alias("tok_b"))
+    j = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.size(F.array_intersect("tok_a", "tok_b"))
+                / F.greatest(F.size(F.array_union("tok_a", "tok_b")), F.lit(1))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            threshold: float = 0.6) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
+    pairs -> exact-Jaccard verification."""
+    sig = minhash_signature(df, id_col, text_col)
+    pairs = lsh_candidate_pairs(sig, id_col)
+    return jaccard_verify(df, pairs, id_col, text_col, threshold).orderBy("id_a", "id_b")
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64; each output bit is the
+    sign of the sum of per-token ±1 contributions. One explode + one
+    64-column conditional agg (all codegen'd)."""
+    tok = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for given id pairs (the J4-style verification
+    join shape)."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+    )
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.greatest(F.size(F.array_union("g_a", "g_b")), F.lit(1)),
+                6,
+            ).alias("ngram_jaccard"),
+        )
+    )

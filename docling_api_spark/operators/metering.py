@@ -1,0 +1,75 @@
+"""Metering / usage-analytics operators (SURVEY.md §2.5 A1-A5, §2.2 P3-P4).
+
+The reference meters conversions in a relational DB (usage_records,
+api/models/db_models.py:128-160; rollup in
+api/services/key_service.py:146-180; credit formula in
+api/routes/documents.py:35-41). Here the same semantics are pure
+DataFrame aggregations — zero Python UDFs, fully codegen'd, partial
+(map-side) aggregation for free, so they scale linearly with data and
+shuffle only the tiny per-key aggregate state.
+
+The sandbox analog tables: ``events`` stands in for usage_records
+(user_id ~ api_key_id, value ~ pages, event_type ~ status/endpoint),
+``customer``/``orders`` for the FK rollup shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# reference credit formula: max(pages * credits_per_page, min_credits)
+# (api/routes/documents.py:35-41; defaults 1 and 1, api/config.py:130-137)
+CREDITS_PER_PAGE = 1
+MIN_CREDITS = 1
+
+
+def credits_col(pages_col, cpp: int = CREDITS_PER_PAGE, minc: int = MIN_CREDITS):
+    """A2 — scalar credit expression."""
+    return F.greatest(pages_col.cast("long") * F.lit(cpp), F.lit(minc).cast("long"))
+
+
+def success_filter(df: DataFrame, status_col: str = "status") -> DataFrame:
+    """P3 — bill only successes (reference documents.py:76-78)."""
+    return df.filter(F.col(status_col) == "success")
+
+
+def total_pages(df: DataFrame, pages_col: str = "pages") -> DataFrame:
+    """A1 — total pages over successful conversions."""
+    return df.agg(F.sum(pages_col).alias("total_pages"))
+
+
+def usage_rollup(df: DataFrame, key_col: str, value_col: str,
+                 time_col: str | None = None) -> DataFrame:
+    """A4 — per-key usage stats (count / sum / avg), the shape of
+    get_usage_stats (key_service.py:166-180)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum(value_col).alias("total_value"),
+        F.avg(value_col).alias("avg_value"),
+    ]
+    if time_col:
+        aggs += [F.min(time_col).alias("first_seen"), F.max(time_col).alias("last_seen")]
+    return df.groupBy(key_col).agg(*aggs)
+
+
+def time_window_filter(df: DataFrame, time_col: str, as_of: str, days: int) -> DataFrame:
+    """P4 — `created_at >= as_of - interval N days` (key_service.py:152-161).
+    ``as_of`` is a fixed literal, never wall-clock (determinism, SURVEY §4.3)."""
+    return df.filter(
+        F.col(time_col) >= F.to_timestamp(F.lit(as_of)) - F.expr(f"INTERVAL {days} DAYS")
+    )
+
+
+def running_counters(keys: DataFrame, usage: DataFrame, key_col: str,
+                     fk_col: str, pages_col: str) -> DataFrame:
+    """A5 — stateless re-derivation of the reference's mutable per-key
+    counters (db_models.py:105-121): aggregate usage, broadcast-join back
+    to the small keys dimension."""
+    agg = usage.groupBy(fk_col).agg(
+        F.count(F.lit(1)).alias("documents_processed"),
+        F.sum(pages_col).alias("pages_processed"),
+        F.sum(credits_col(F.col(pages_col))).alias("credits_used"),
+    )
+    # keys is the small side (200 rows in the reference's world): broadcast
+    return agg.join(F.broadcast(keys), agg[fk_col] == keys[key_col], "inner")

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan of the corpus with
+the (small) query set broadcast; the pairwise score is computed with
+``zip_with`` + ``aggregate`` higher-order functions (JVM-side, no
+Python). Scale path: random-hyperplane LSH bucketing (deterministic
+hyperplanes, numpy matmul in a vectorized pandas UDF) so only same-bucket
+candidates are scored — O(N) bucket rows instead of O(N·Q) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k per query.
+
+    ``queries`` (few rows) is broadcast; the corpus is scanned once. The
+    per-query top-k is a window ranked by score — with Q queries the
+    shuffle is Q·N score rows of ~24 bytes, and AQE coalesces it.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    pairs = df.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    ).join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / F.greatest(_norm(F.col("qvec")) * _norm(F.col("cvec")), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic hyperplanes — fixed seed, generated identically on
+    every worker (no runtime randomness; SURVEY.md §4.3)."""
+    rs = np.random.RandomState(42)
+    return rs.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 8):
+    """Vectorized bucketing: sign-pattern of v·Hᵀ as an int bucket id.
+    One numpy matmul per Arrow batch."""
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        planes = _hyperplanes(dim, n_planes)  # cached per worker by module import? small, recompute ok
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes.T) > 0
+        vals = signs @ (1 << np.arange(n_planes))
+        return pd.Series(vals.astype("int32"))
+
+    return bucket
+
+
+def lsh_cosine_topk(df: DataFrame, queries: DataFrame, dim: int, k: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 8) -> DataFrame:
+    """ANN variant: score only candidates sharing the query's LSH bucket.
+    Recall < 1 by construction; the scale path for 100 TB corpora (the
+    corpus-side bucket column would be precomputed and partition-pruned)."""
+    bucket = lsh_bucket_udf(dim, n_planes)
+    corpus_b = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    q_b = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    pairs = corpus_b.join(F.broadcast(q_b), "bucket").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / F.greatest(_norm(F.col("qvec")) * _norm(F.col("cvec")), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
+                              id_col: str = "vec_id", vec_col: str = "embedding",
+                              n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup detection: LSH-bucket self-join (pairs
+    only within buckets), exact cosine verify at ``threshold``."""
+    bucket = lsh_bucket_udf(dim, n_planes)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket")
+    )
+    left = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    right = b.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / F.greatest(_norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

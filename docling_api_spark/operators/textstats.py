@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All built from JVM-side ``pyspark.sql.functions`` (whole-stage codegen,
+no Python in the hot path) except the rolling-hash fingerprint, which is
+a vectorized pandas UDF. Designed for the ``documents`` table shape
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# small English stopword list, fixed (deterministic heuristic)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + char count + average token length."""
+    toks = _tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_chars_m", F.length(text_col)
+    ).withColumn(
+        "avg_token_len",
+        F.round(
+            (F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", ""))
+             / F.greatest(F.size(toks), F.lit(1))).cast("double"),
+            4,
+        ),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features: stopword ratio, punctuation ratio,
+    and a length-saturating score in [0,1]. (The C4/C5-free analog of the
+    reference's content 'accuracy' keyword scoring,
+    scripts/test_production.py:356-368.)"""
+    toks = _tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    chars = F.greatest(F.length(text_col), F.lit(1))
+    return (
+        df.withColumn("stopword_ratio", F.round((n_stop / n_tok).cast("double"), 4))
+        .withColumn("punct_ratio", F.round((punct / chars).cast("double"), 4))
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0)) * 0.5
+                + F.least((n_stop / n_tok) * 5.0, F.lit(1.0)) * 0.5,
+                4,
+            ),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free heuristic language ID: script detection (CJK/Cyrillic/
+    Greek) then English-stopword density; 'und' when nothing matches."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = _tokens(F.lower(F.col(text_col)))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    return df.withColumn(
+        "lang_pred",
+        F.when(F.col(text_col).rlike("[\\u4e00-\\u9fff]"), F.lit("zh"))
+        .when(F.col(text_col).rlike("[\\u0400-\\u04ff]"), F.lit("ru"))
+        .when(F.col(text_col).rlike("[\\u0370-\\u03ff]"), F.lit("el"))
+        .when((n_stop / n_tok) >= 0.03, F.lit("en"))
+        .otherwise(F.lit("und")),
+    )
+
+
+_FP_SCHEMA = T.LongType()
+_FP_WINDOW = 8
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 257
+
+
+@F.pandas_udf(_FP_SCHEMA)
+def fingerprint64(texts: pd.Series) -> pd.Series:
+    """Document fingerprint: min of rolling polynomial hashes over byte
+    windows (winnowing-style). Vectorized per Arrow batch; numpy inner
+    loop over window offsets, not over rows."""
+    import numpy as np
+
+    out = []
+    for t in texts:
+        if not t:
+            out.append(0)
+            continue
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        if len(b) < _FP_WINDOW:
+            b = np.pad(b, (0, _FP_WINDOW - len(b)))
+        h = np.zeros(len(b) - _FP_WINDOW + 1, dtype=np.int64)
+        for k in range(_FP_WINDOW):  # 8 iterations, each vectorized over all windows
+            h = (h * _FP_BASE + b[k: len(b) - _FP_WINDOW + 1 + k]) % _FP_MOD
+        out.append(int(h.min()))
+    return pd.Series(out, dtype="int64")
