@@ -1,0 +1,82 @@
+"""Manifest-based snapshot/commit emulation (resumability, north rule).
+
+In production framing this is an Iceberg table: each run's appended data
+files + a snapshot commit; resume = diff committed snapshots. Iceberg
+jars are not in this sandbox (documented substitution, SURVEY.md §7.3.3),
+so snapshots are emulated deterministically:
+
+- ``manifest.json`` lists committed (run_id, bucket) pairs (atomic
+  tmp+rename write). Data files live under ``data/run_id=R/bucket=B/``;
+  a killed run leaves the previous manifest intact, so its partial data
+  files belong to a (run_id, bucket) pair that was never committed and
+  are invisible to ``committed_view`` — the same way Iceberg orphans
+  uncommitted data files. The resume then reprocesses those buckets
+  under a new run_id, with no double counting.
+- Idempotent re-commit: committing an already-committed bucket is a
+  no-op (J3 anti-join semantics; reference stripe_service.py:214-231).
+
+Readers of the output MUST go through ``committed_view`` which filters
+to manifest-committed buckets — the Iceberg-snapshot-isolation analog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+
+class Manifest:
+    def __init__(self, output_dir: str):
+        self.dir = pathlib.Path(output_dir)
+        self.path = self.dir / "manifest.json"
+
+    def _read(self) -> dict:
+        if not self.path.exists():
+            return {"runs": [], "buckets": []}
+        return json.loads(self.path.read_text())
+
+    def committed_buckets(self) -> set[int]:
+        return set(self._read()["buckets"])
+
+    def next_run_id(self) -> str:
+        return f"run-{len(self._read()['runs']):04d}"
+
+    def commit(self, run_id: str, snapshot_id: str, buckets: list[int]) -> None:
+        state = self._read()
+        new = [b for b in buckets if b not in set(state["buckets"])]
+        state["runs"].append(
+            {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": new}
+        )
+        state["buckets"] = sorted(set(state["buckets"]) | set(new))
+        self.dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(state, indent=1, sort_keys=True))
+        os.replace(tmp, self.path)  # atomic commit
+
+    def runs(self) -> list[dict]:
+        return self._read()["runs"]
+
+
+def committed_view(spark, output_dir: str):
+    """Snapshot-isolated read: only manifest-committed (run_id, bucket)
+    pairs are visible; orphan files from killed runs are filtered by the
+    partition columns (partition pruning — no data files of orphaned
+    runs are even opened)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    m = Manifest(output_dir)
+    runs = [r for r in m.runs() if r["buckets"]]
+    df = spark.read.parquet(f"{output_dir}/data")
+    if not runs:
+        return df.limit(0)
+    cond = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("run_id") == r["run_id"]) & F.col("bucket").isin(r["buckets"])
+            for r in runs
+        ],
+    )
+    return df.filter(cond)

@@ -1,0 +1,108 @@
+"""Resumability test (SURVEY.md §5.2.5): partial run -> 'kill' -> resume
+-> output identical to a single-shot run; lineage shows committed
+partitions; orphan files from uncommitted work never surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import canon_spans
+
+N_CONVS = 40
+
+
+@pytest.fixture()
+def transcripts(spark):
+    from docling_api_spark.gen import transcripts_df
+
+    return transcripts_df(spark, N_CONVS, partitions=4)
+
+
+def _read_committed(spark, out_dir) -> pd.DataFrame:
+    from docling_api_spark.plans.checkpoint import committed_view
+
+    pdf = committed_view(spark, str(out_dir)).toPandas()
+    pdf["spans_json"] = pdf["spans"].map(canon_spans)
+    return (
+        pdf.drop(columns=["spans", "run_id", "bucket"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_partial_then_resume_equals_single_shot(spark, transcripts, tmp_path):
+    from docling_api_spark.plans.pipeline import run_extraction
+
+    single = tmp_path / "single"
+    split = tmp_path / "split"
+
+    s1 = run_extraction(spark, transcripts, str(single), n_buckets=8,
+                        num_partitions=8)
+    assert len(s1["buckets"]) == 8 and not s1["resumed"]
+
+    # partial run: only 3 buckets committed (simulates a killed run)
+    p1 = run_extraction(spark, transcripts, str(split), n_buckets=8,
+                        num_partitions=8, limit_buckets=3)
+    assert len(p1["buckets"]) == 3
+    # resume: picks up ONLY the remaining 5
+    p2 = run_extraction(spark, transcripts, str(split), n_buckets=8,
+                        num_partitions=8)
+    assert p2["resumed"] and len(p2["buckets"]) == 5
+    assert set(p1["buckets"]).isdisjoint(p2["buckets"])
+    # idempotent third run: nothing to do
+    p3 = run_extraction(spark, transcripts, str(split), n_buckets=8)
+    assert p3["buckets"] == []
+
+    a = _read_committed(spark, single)
+    b = _read_committed(spark, split)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_like=True
+    )
+
+
+def test_orphan_files_invisible(spark, transcripts, tmp_path):
+    """Files written by a run that never committed must not appear in the
+    committed view (Iceberg orphan-file semantics)."""
+    from docling_api_spark.plans.checkpoint import Manifest, committed_view
+    from docling_api_spark.plans.pipeline import run_extraction, with_bucket
+    from docling_api_spark.operators.extract import extract_text_column
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(out), n_buckets=4, limit_buckets=2)
+    committed_before = committed_view(spark, str(out)).count()
+
+    # simulate a crash: write data for another bucket WITHOUT committing
+    df = with_bucket(transcripts, 4)
+    orphan_bucket = [
+        b for b in range(4) if b not in Manifest(str(out)).committed_buckets()
+    ][0]
+    orphan = extract_text_column(
+        df.filter(F.col("bucket") == orphan_bucket)
+    ).withColumn("run_id", F.lit("run-dead"))
+    orphan.write.mode("append").partitionBy("run_id", "bucket").parquet(
+        f"{out}/data"
+    )
+
+    assert committed_view(spark, str(out)).count() == committed_before
+
+
+def test_lineage_metrics(spark, transcripts, tmp_path):
+    """North rule: per-partition lineage with rows in/out + error counts
+    + pages + credits (usage_records analog)."""
+    from docling_api_spark.plans.pipeline import job_status, run_extraction
+
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(out), snapshot_id="snap-test",
+                   n_buckets=8)
+    lineage = job_status(spark, str(out)).toPandas()
+    assert set(lineage["partition_id"]) == set(range(8))
+    assert (lineage["snapshot_id"] == "snap-test").all()
+    assert (lineage["rows_in"] == lineage["rows_out"]).all()
+    total = lineage[["rows_out", "n_success", "n_error", "n_skipped_ocr"]].sum()
+    assert total["rows_out"] == total["n_success"] + total["n_error"] + total["n_skipped_ocr"]
+    # credits floor: every doc >= 1 credit (reference documents.py:35-41)
+    assert (lineage["credits"] >= lineage["rows_out"]).all()
+    assert (lineage["pages"] >= lineage["n_success"]).all()
