@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf", ...}.
+
+The flagship measurement is transcript extraction throughput
+(turns/sec): transcripts are staged once to parquet (generation cost is
+excluded — the 100 TB framing reads an existing Iceberg snapshot), then
+the timed run is read -> salted repartition -> mapInPandas extraction ->
+aggregate, i.e. the full pipeline minus the sink.
+
+Usage:
+    python bench.py                 # full suite, one JSON line
+    python bench.py --extract-only  # just the extraction stage (used by
+                                    # scripts/scaling_bench.py at two
+                                    # parallelism levels)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# ~650k convs/sf => ~2M turns at sf0.1 (turn mix per FIXTURES.md §1)
+CONVS_PER_SF = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS_PER_SF", "650000"))
+STAGE_ROOT = pathlib.Path(os.environ.get("SPARK_GRAFT_STAGE", "/tmp/spark_graft_bench"))
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def stage_transcripts(spark, sf: float) -> str:
+    """Generate the bench transcript snapshot once; reuse across runs and
+    parallelism levels (same input for the scaling-efficiency rule)."""
+    n_convs = max(100, int(CONVS_PER_SF * sf))
+    path = STAGE_ROOT / f"transcripts_sf{sf}_c{n_convs}"
+    marker = path / "_SUCCESS"
+    if not marker.exists():
+        from docling_api_spark.gen import transcripts_df
+
+        t = transcripts_df(spark, n_convs, partitions=max(CPUS * 2, 16))
+        t.write.mode("overwrite").parquet(str(path))
+    return str(path)
+
+
+def run_extraction_bench(spark, staged: str) -> dict:
+    """Timed: read snapshot -> salt/repartition -> extract -> aggregate."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.extract import extract_text_column
+    from docling_api_spark.plans.pipeline import salted_repartition
+
+    t0 = time.time()
+    df = spark.read.parquet(staged)
+    parts = spark.sparkContext.defaultParallelism * 2
+    extracted = extract_text_column(salted_repartition(df, parts))
+    row = extracted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pages").alias("pages"),
+        F.sum((F.col("status") == "success").cast("long")).alias("ok"),
+        F.sum(F.length("extracted_text")).alias("out_chars"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return {
+        "sec": round(dt, 2),
+        "turns": row["n"],
+        "turns_per_sec": round(row["n"] / dt, 1),
+        "pages": row["pages"],
+        "n_success": row["ok"],
+        "out_chars": row["out_chars"],
+    }
+
+
+def main() -> None:
+    extract_only = "--extract-only" in sys.argv
+
+    from docling_api_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    sf = sf_of(SF_DIR)
+    staged = stage_transcripts(spark, sf)
+
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    ext = run_extraction_bench(spark, staged)
+    queries["extract_transcripts"] = ext["sec"]
+    extras["extract"] = ext
+
+    if not extract_only:
+        import __spark_entry__ as entrymod
+
+        q = entrymod.queries()
+        for name in [
+            "extract_documents",
+            "q1_pricing_summary",
+            "j4_parity_join",
+            "a4_usage_rollup",
+            "w1_sliding_count",
+            "w2_turn_ordering",
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "sim_cosine_topk",
+            "text_quality",
+            "text_fingerprint",
+        ]:
+            t0 = time.time()
+            df = q[name](spark, SF_DIR)
+            # force full computation without driver-side materialization
+            df.write.mode("overwrite").format("noop").save()
+            queries[name] = round(time.time() - t0, 2)
+
+    total = round(sum(queries.values()), 2)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "turns_per_sec": ext["turns_per_sec"],
+        "extract_detail": extras["extract"],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""spark-submit entry point.
+
+Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
+(see README for packaging). Subcommands:
+
+  run     --input <transcripts parquet/dir> --output <dir> [--snapshot S]
+  resume  (same as run: the manifest makes every run a resume)
+  status  --output <dir>
+  bench   (delegates to bench.py's main)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="docling_api_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "resume"):
+        r = sub.add_parser(name)
+        r.add_argument("--input", required=True)
+        r.add_argument("--output", required=True)
+        r.add_argument("--snapshot", default="snap-0")
+        r.add_argument("--buckets", type=int, default=64)
+        r.add_argument("--limit-buckets", type=int, default=None)
+    s = sub.add_parser("status")
+    s.add_argument("--output", required=True)
+    args = p.parse_args(argv)
+
+    from docling_api_spark.session import get_spark
+
+    spark = get_spark(app_name=f"docling_api_spark-{args.cmd}")
+    if args.cmd in ("run", "resume"):
+        from docling_api_spark.plans.pipeline import run_extraction
+
+        transcripts = spark.read.parquet(args.input)
+        summary = run_extraction(
+            spark, transcripts, args.output, snapshot_id=args.snapshot,
+            n_buckets=args.buckets, limit_buckets=args.limit_buckets,
+        )
+        print(json.dumps(summary))
+    elif args.cmd == "status":
+        from docling_api_spark.plans.pipeline import job_status
+
+        job_status(spark, args.output).show(200, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
