@@ -60,12 +60,12 @@ def run_extraction_bench(spark, staged: str) -> dict:
     from pyspark.sql import functions as F
 
     from docling_api_spark.operators.extract import extract_text_column
-    from docling_api_spark.plans.pipeline import salted_repartition
 
     t0 = time.time()
+    # no pre-shuffle: extraction is per-turn independent and runs straight
+    # off the parquet scan splits (see plans/pipeline.py scale notes)
     df = spark.read.parquet(staged)
-    parts = spark.sparkContext.defaultParallelism * 2
-    extracted = extract_text_column(salted_repartition(df, parts))
+    extracted = extract_text_column(df)
     row = extracted.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("pages").alias("pages"),

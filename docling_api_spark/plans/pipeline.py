@@ -1,5 +1,5 @@
-"""The production extraction pipeline: read -> salt -> sort -> extract ->
-write + lineage, resumable from a committed manifest.
+"""The production extraction pipeline: scan -> extract -> bucketed write
++ lineage, resumable from a committed manifest.
 
 Spark restatement of the reference's flagship request path (SURVEY.md
 §3.1): the async-job lifecycle (reference api/routes/documents.py:255-339)
@@ -11,15 +11,18 @@ uncommitted units (resume, north rule).
 Scale design:
 - **Work unit / partition key**: ``bucket = pmod(xxhash64(conv_id), B)``
   conversation-level buckets make resume tracking O(B), not O(rows).
-- **Skew salting**: the shuffle key is ``(conv_id, turn_idx // SALT_BLOCK)``
+- **No input shuffle**: extraction is per-turn independent and runs
+  straight off the parquet/Iceberg scan splits; the only exchange in the
+  job moves the (smaller) extracted output into the bucketed write
+  layout. Lineage is aggregated from the written files (verify-what-
+  committed), touching only metric columns.
+- **Skew salting**: when a consumer DOES need conv-co-located rows,
+  ``salted_repartition`` shuffles on ``(conv_id, turn_idx // SALT_BLOCK)``
   — a single 10^6-turn conversation splits into ~4k-turn blocks spread
   over the cluster instead of landing on one task. Extraction is
   per-turn independent, so block splitting cannot change results
-  (batch-invariance is tested); only the within-partition sort keeps
-  (conv_id, turn_idx) runs contiguous for downstream consumers.
-- **No wide shuffle**: one repartition of the raw input; extraction,
-  write, and lineage aggregation all happen without another exchange
-  (lineage aggregates the written output's footer-level columns).
+  (batch-invariance is tested). The write shuffle salts the same way
+  (``_wsalt``) to bound files-per-bucket without hot write tasks.
 """
 
 from __future__ import annotations
@@ -41,17 +44,24 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     )
 
 
-def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
+def salted_repartition(df: DataFrame, num_partitions: int,
+                       sort: bool = False) -> DataFrame:
     """Shuffle on (conv_id, turn-block): heavy conversations split across
-    partitions; short ones stay whole."""
+    partitions; short ones stay whole. Use when a downstream operator
+    needs conv-co-located rows; the extraction itself does NOT (it is
+    per-turn independent), so the default pipeline never calls this
+    before extracting — measured on this box, pre-shuffling the raw 2 KB
+    payload rows costs 2-3x the no-shuffle scan->extract path.
+
+    ``sort=True`` additionally orders (conv_id, turn_idx) runs within
+    partitions — only needed by consumers that stream turns in order;
+    equality verification joins on the keys instead (SURVEY.md §7.3.4).
+    """
     salted = df.withColumn(
         "_salt", (F.col("turn_idx") / F.lit(SALT_BLOCK)).cast("int")
     )
-    return (
-        salted.repartition(num_partitions, "conv_id", "_salt")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .drop("_salt")
-    )
+    out = salted.repartition(num_partitions, "conv_id", "_salt").drop("_salt")
+    return out.sortWithinPartitions("conv_id", "turn_idx") if sort else out
 
 
 def run_extraction(
@@ -85,9 +95,26 @@ def run_extraction(
         return {"run_id": manifest.next_run_id(), "buckets": [], "rows": 0,
                 "resumed": True}
 
+    # Extraction runs straight off the source scan — NO pre-shuffle: it is
+    # per-turn independent, and shuffling the raw payload rows first costs
+    # 2-3x the scan->extract pipeline (the scan's split sizing,
+    # spark.sql.files.maxPartitionBytes, already load-balances; a heavy
+    # conversation is just consecutive rows, split across scan partitions
+    # like any other rows).
+    extracted = extract_text_column(pending_df, text_col="text")
+
+    # The only shuffle moves the *extracted* output (boilerplate already
+    # stripped — smaller than the input) into the bucketed write layout;
+    # _wsalt bounds files-per-bucket while keeping write parallelism.
     parts = num_partitions or spark.sparkContext.defaultParallelism * 2
-    salted = salted_repartition(pending_df, parts)
-    extracted = extract_text_column(salted, text_col="text")
+    files_per_bucket = max(1, parts // n_buckets) * 2
+    for_write = (
+        extracted.withColumn(
+            "_wsalt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(files_per_bucket))
+        )
+        .repartition(parts, "bucket", "_wsalt")
+        .drop("_wsalt")
+    )
 
     run_id = manifest.next_run_id()
     data_dir = f"{output_dir}/data"
@@ -95,7 +122,7 @@ def run_extraction(
     # never-committed run are invisible to committed_view (Iceberg
     # orphan-file semantics) and a resume can never double-count
     (
-        extracted.withColumn("run_id", F.lit(run_id))
+        for_write.withColumn("run_id", F.lit(run_id))
         .write.mode("append")
         .partitionBy("run_id", "bucket")
         .parquet(data_dir)
