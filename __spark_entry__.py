@@ -205,6 +205,114 @@ def j4_parity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def j2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: key point-lookup (key_service.py:53-65) — an indexed-equality
+    filter; parquet min/max pruning serves as the index analog."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 42).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def p8_split_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: comma-split + strip (routes/documents.py:185-187) via
+    higher-order transform over the split array."""
+    p = _t(spark, sf_dir, "part")
+    toks = F.transform(F.split(F.col("p_type"), " "), lambda x: F.trim(x))
+    return p.select(
+        "p_partkey",
+        F.size(toks).alias("n_words"),
+        F.element_at(toks, 1).alias("first_word"),
+        F.array_join(toks, ",").alias("joined"),
+    )
+
+
+def a6_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: min/max/avg/stddev latency rollup (test_production.py:209-227)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+            F.round(F.stddev("value"), 4).alias("stddev_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def a7_keyword_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: expected-keyword recall scoring (test_production.py:356-368)."""
+    d = _t(spark, sf_dir, "documents")
+    kws = ["spark", "table", "query"]
+    hits = sum(
+        (F.contains(F.lower("text"), F.lit(k))).cast("int") for k in kws
+    )
+    return d.agg(
+        F.round(F.avg(hits / F.lit(len(kws))), 6).alias("avg_accuracy"),
+        F.sum((hits == len(kws)).cast("long")).alias("n_full_hits"),
+    )
+
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: unionByName + distinct (multi-source result merging,
+    docling_client.py:360-373)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.unionByName(b).distinct().orderBy("user_id")
+
+
+def rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family (free in Spark): rollup over two dims."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (continuous interpolation) per group."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + running
+    sum over a per-user window) — the batch analog of session windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def w1_rate_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: fixed-window rate counting (api/rate_limit.py:46-52) as a
     tumbling per-hour count per key."""
@@ -476,6 +584,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_time_window": p4_time_window,
         "p7_bounds_filter": p7_bounds_filter,
         "j1_fk_rollup_join": j1_fk_rollup_join,
+        "j2_point_lookup": j2_point_lookup,
+        "p8_split_trim": p8_split_trim,
+        "a6_latency_stats": a6_latency_stats,
+        "a7_keyword_accuracy": a7_keyword_accuracy,
+        "set_union_distinct": set_union_distinct,
+        "rollup_status": rollup_status,
+        "agg_percentiles": agg_percentiles,
+        "sessionize_events": sessionize_events,
         "j3_idempotency_anti": j3_idempotency_anti,
         "j4_parity_join": j4_parity_join,
         "w1_rate_window_hourly": w1_rate_window_hourly,
@@ -559,6 +675,79 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice > 0 AND o_totalprice <= 500000
               AND o_orderstatus IN ('O', 'F', 'P')
             GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "j2_point_lookup": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey = 42
+        """,
+        "p8_split_trim": """
+            SELECT p_partkey,
+                   len(list_transform(string_split(p_type, ' '), x -> trim(x))) AS n_words,
+                   list_transform(string_split(p_type, ' '), x -> trim(x))[1] AS first_word,
+                   array_to_string(list_transform(string_split(p_type, ' '), x -> trim(x)), ',') AS joined
+            FROM part
+        """,
+        "a6_latency_stats": """
+            SELECT event_type,
+                   round(min(value), 2) AS min_v,
+                   round(max(value), 2) AS max_v,
+                   round(avg(value), 4) AS avg_v,
+                   round(stddev_samp(value), 4) AS stddev_v
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "a7_keyword_accuracy": """
+            SELECT round(avg((
+                       (CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(lower(text), 'table') THEN 1 ELSE 0 END
+                        + CASE WHEN contains(lower(text), 'query') THEN 1 ELSE 0 END
+                       )::DOUBLE / 3)), 6) AS avg_accuracy,
+                   CAST(sum(CASE WHEN contains(lower(text), 'spark')
+                                  AND contains(lower(text), 'table')
+                                  AND contains(lower(text), 'query')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_hits
+            FROM documents
+        """,
+        "set_union_distinct": """
+            SELECT DISTINCT user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id FROM events WHERE event_type = 'purchase'
+            ) ORDER BY user_id
+        """,
+        "rollup_status": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "agg_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "sessionize_events": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR CAST(epoch(ts) AS BIGINT)
+                                 - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+                SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "j1_fk_rollup_join": """
             SELECT c_mktsegment, count(*) AS n_orders,

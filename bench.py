@@ -41,16 +41,23 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+# The staged snapshot is written as many small-ish files: extraction is
+# Python-heavy (~8 MB/s/core), so input splits must be fine-grained or a
+# large executor count starves — a 128 MB default split is ~16 s of kernel
+# work and a 1.5 GB snapshot would yield only ~12 tasks.
+STAGE_FILES = 256
+
+
 def stage_transcripts(spark, sf: float) -> str:
     """Generate the bench transcript snapshot once; reuse across runs and
-    parallelism levels (same input for the scaling-efficiency rule)."""
+    parallelism levels (identical input bytes for the scaling rule)."""
     n_convs = max(100, int(CONVS_PER_SF * sf))
-    path = STAGE_ROOT / f"transcripts_sf{sf}_c{n_convs}"
+    path = STAGE_ROOT / f"transcripts_sf{sf}_c{n_convs}_f{STAGE_FILES}"
     marker = path / "_SUCCESS"
     if not marker.exists():
         from docling_api_spark.gen import transcripts_df
 
-        t = transcripts_df(spark, n_convs, partitions=max(CPUS * 2, 16))
+        t = transcripts_df(spark, n_convs, partitions=STAGE_FILES)
         t.write.mode("overwrite").parquet(str(path))
     return str(path)
 
@@ -88,8 +95,13 @@ def main() -> None:
 
     from docling_api_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        # fine-grained scan splits for the Python-heavy extraction stage
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
     sf = sf_of(SF_DIR)
     staged = stage_transcripts(spark, sf)
 
