@@ -437,6 +437,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(d).orderBy("doc_id")
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact: all id_a < id_b pairs with
+    cosine >= 0.40 via broadcast self-join + JVM-side higher-order dot
+    product. Exact-pair baseline; the 100 TB path is the LSH-bucketed
+    variant below (candidate pairs only within hash buckets)."""
+    from docling_api_spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / F.greatest(_norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-12)),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.40)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, scale path: LSH-bucket self-join then
+    exact-cosine verify (rows-only oracle — bucket ids are engine-side)."""
+    from docling_api_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_near_duplicates(emb, dim=64, threshold=0.40).orderBy("id_a", "id_b")
+
+
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for 5 query vectors over the embeddings
     corpus (broadcast queries, single corpus scan)."""
@@ -605,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_embedding_norms": sim_embedding_norms,
         "sim_lsh_topk": sim_lsh_topk,
@@ -845,6 +885,31 @@ def oracle_sql() -> dict[str, str]:
                    ) AS ngram_jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
             ORDER BY id_a
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (
+                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                       list_dot_product(a.v, b.v) / greatest(
+                           sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)),
+                           1e-12
+                       ),
+                       6
+                   ) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(
+                      list_dot_product(a.v, b.v) / greatest(
+                          sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v)),
+                          1e-12
+                      ),
+                      6
+                  ) >= 0.40
+            ORDER BY id_a, id_b
         """,
         "sim_cosine_topk": """
             WITH q AS (

@@ -62,12 +62,28 @@ def stage_transcripts(spark, sf: float) -> str:
     return str(path)
 
 
+def warmup(spark, staged: str) -> None:
+    """Fork the Python workers and import pandas + the kernel once per
+    core BEFORE the timed run: process-pool warmup is fixed cost that a
+    long-running cluster pays once per executor, not per job, so it is
+    excluded from the throughput measurement (standard bench hygiene;
+    both parallelism levels get the identical warmup)."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.extract import extract_text_column
+
+    df = spark.read.parquet(staged).limit(5000)
+    cpus = spark.sparkContext.defaultParallelism
+    extract_text_column(df.repartition(cpus)).agg(F.count(F.lit(1))).collect()
+
+
 def run_extraction_bench(spark, staged: str) -> dict:
     """Timed: read snapshot -> salt/repartition -> extract -> aggregate."""
     from pyspark.sql import functions as F
 
     from docling_api_spark.operators.extract import extract_text_column
 
+    warmup(spark, staged)
     t0 = time.time()
     # no pre-shuffle: extraction is per-turn independent and runs straight
     # off the parquet scan splits (see plans/pipeline.py scale notes)

