@@ -526,6 +526,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_stats(d).select("doc_id", "n_tokens", "avg_token_len")
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting vs whitespace tokens (JVM-side
+    regexp_extract_all; GPT-2-style pattern shared verbatim with the
+    DuckDB oracle)."""
+    from docling_api_spark.operators.textstats import with_bpe_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return with_bpe_tokens(d).select("doc_id", "n_bpe_tokens", "n_ws_tokens")
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_api_spark.operators.textstats import with_quality_score
 
@@ -611,6 +621,94 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: FIMG payload -> downscaled FIMG ->
+    re-extract metadata (two composed binary-column stages; codec stubbed)."""
+    import struct
+
+    from docling_api_spark.operators.multimodal import (
+        FAKE_IMAGE_MAGIC,
+        resize_image,
+        with_image_metadata,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    binned = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(FAKE_IMAGE_MAGIC),
+            F.lit(struct.pack("<II", 64, 32)),
+            F.col("text").cast("binary"),
+        ).alias("image"),
+    )
+    small = resize_image(binned, factor=2).drop("image").withColumnRenamed(
+        "image_small", "image"
+    )
+    out = with_image_metadata(small)
+    return out.select(
+        "doc_id",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: FVID container (4 frames x 16
+    bytes built from the doc text) -> every-2nd-frame metadata, exploded."""
+    import struct
+
+    from docling_api_spark.operators.multimodal import (
+        FAKE_VIDEO_MAGIC,
+        sample_video_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.rpad(F.substring("text", 1, 64), 64, " ").cast("binary")
+    binned = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(FAKE_VIDEO_MAGIC), F.lit(struct.pack("<II", 4, 16)), body
+        ).alias("video"),
+    )
+    out = sample_video_frames(binned, every=2)
+    fr = out.select("doc_id", F.explode("frames").alias("f"))
+    return fr.select(
+        "doc_id",
+        F.col("f.frame_idx").alias("frame_idx"),
+        F.col("f.n_bytes").alias("frame_bytes"),
+        F.col("f.mean_byte").alias("mean_byte"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio-feature plumbing: FAUD payload (32 i16 samples from
+    the doc text bytes) -> sample_rate / n_samples / duration / RMS."""
+    import struct
+
+    from docling_api_spark.operators.multimodal import (
+        FAKE_AUDIO_MAGIC,
+        with_audio_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    samples = F.rpad(F.substring("text", 1, 64), 64, " ").cast("binary")
+    binned = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(FAKE_AUDIO_MAGIC), F.lit(struct.pack("<I", 16000)), samples
+        ).alias("audio"),
+    )
+    out = with_audio_features(binned)
+    return out.select(
+        "doc_id",
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.duration_s").alias("duration_s"),
+        F.col("audio_meta.rms").alias("rms"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -649,12 +747,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_norms": sim_embedding_norms,
         "sim_lsh_topk": sim_lsh_topk,
         "text_token_stats": text_token_stats,
+        "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "extract_documents": extract_documents,
         "extract_transcripts": extract_transcripts,
         "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
+        "multimodal_frames": multimodal_frames,
+        "multimodal_audio": multimodal_audio,
     }
 
 
@@ -957,6 +1059,14 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1),
                        4
                    ) AS avg_token_len
+            FROM documents
+        """,
+        "text_bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'
+                   )) AS n_bpe_tokens,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
             FROM documents
         """,
         "text_quality": """

@@ -51,6 +51,44 @@ def real_decode_stub(data: bytes):
     )
 
 
+FAKE_VIDEO_MAGIC = b"FVID"
+FAKE_AUDIO_MAGIC = b"FAUD"
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("mean_byte", T.DoubleType(), True),
+    ]
+)
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def encode_fake_video(frame_len: int, frames: list[bytes]) -> bytes:
+    """Deterministic synthetic 'video': FVID + n_frames + frame_len +
+    fixed-size frames concatenated (test helper)."""
+    assert all(len(f) == frame_len for f in frames)
+    return (
+        FAKE_VIDEO_MAGIC
+        + struct.pack("<II", len(frames), frame_len)
+        + b"".join(frames)
+    )
+
+
+def encode_fake_audio(sample_rate: int, samples: bytes) -> bytes:
+    """Deterministic synthetic 'audio': FAUD + sample_rate + i16 PCM-ish
+    byte payload (test helper)."""
+    return FAKE_AUDIO_MAGIC + struct.pack("<I", sample_rate) + samples
+
+
 def with_image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
     """Decode/feature-extract over Arrow batches: one numpy pass per batch.
     Bad payloads produce NULL metadata fields, never task failures (same
@@ -85,6 +123,128 @@ def with_image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
                 )
             out = pdf[keep].copy().reset_index(drop=True)
             out["image_meta"] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_image(df: DataFrame, bin_col: str = "image",
+                 out_col: str = "image_small", factor: int = 2) -> DataFrame:
+    """'Resize' plumbing: FIMG payload -> FIMG payload at (w//f, h//f) with
+    the body subsampled every ``factor``-th byte — a deterministic stand-in
+    for a real thumbnailer (PIL.Image.resize would slot in at the marked
+    line; see real_decode_stub). Output stays a binary column so further
+    stages compose. Bad payloads -> NULL, never task failures."""
+    passthrough = T.StructType(list(df.schema.fields))
+    out_schema = T.StructType(
+        list(passthrough.fields) + [T.StructField(out_col, T.BinaryType(), True)]
+    )
+    keep = [f.name for f in passthrough.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for raw in pdf[bin_col]:
+                if raw is None or len(raw) < 12 or bytes(raw[:4]) != FAKE_IMAGE_MAGIC:
+                    outs.append(None)
+                    continue
+                w, h = struct.unpack("<II", bytes(raw[4:12]))
+                body = bytes(raw[12:])
+                # real codec would decode+resample here (real_decode_stub)
+                small = body[::factor]
+                outs.append(
+                    FAKE_IMAGE_MAGIC
+                    + struct.pack("<II", max(1, w // factor), max(1, h // factor))
+                    + small
+                )
+            out = pdf[keep].copy().reset_index(drop=True)
+            out[out_col] = outs
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_video_frames(df: DataFrame, bin_col: str = "video",
+                        every: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: FVID container -> array of per-frame
+    metadata structs for every ``every``-th frame (a real pipeline would
+    emit decoded frame tensors here; ffmpeg decode is stubbed —
+    real_decode_stub). One numpy reshape per payload, no per-byte Python."""
+    import numpy as np  # noqa: F401  (used inside run)
+
+    passthrough = T.StructType(
+        [f for f in df.schema.fields if f.name != bin_col]
+    )
+    out_schema = T.StructType(
+        list(passthrough.fields)
+        + [T.StructField("frames", T.ArrayType(FRAME_SCHEMA), True)]
+    )
+    keep = [f.name for f in passthrough.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            frames_col = []
+            for raw in pdf[bin_col]:
+                if raw is None or len(raw) < 12 or bytes(raw[:4]) != FAKE_VIDEO_MAGIC:
+                    frames_col.append(None)
+                    continue
+                n, flen = struct.unpack("<II", bytes(raw[4:12]))
+                body = np.frombuffer(bytes(raw[12:12 + n * flen]), dtype=np.uint8)
+                if len(body) < n * flen or flen == 0:
+                    frames_col.append(None)
+                    continue
+                mat = body.reshape(n, flen)
+                sampled = range(0, n, every)
+                means = mat.mean(axis=1)
+                frames_col.append(
+                    [
+                        {"frame_idx": int(i), "n_bytes": int(flen),
+                         "mean_byte": round(float(means[i]), 4)}
+                        for i in sampled
+                    ]
+                )
+            out = pdf[keep].copy().reset_index(drop=True)
+            out["frames"] = frames_col
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def with_audio_features(df: DataFrame, bin_col: str = "audio") -> DataFrame:
+    """Audio feature-extraction plumbing: FAUD payload -> (sample_rate,
+    n_samples, duration, RMS) via one vectorized numpy pass per payload
+    (soundfile/librosa decode is stubbed — real_decode_stub)."""
+    passthrough = T.StructType(
+        [f for f in df.schema.fields if f.name != bin_col]
+    )
+    out_schema = T.StructType(
+        list(passthrough.fields)
+        + [T.StructField("audio_meta", AUDIO_META_SCHEMA, True)]
+    )
+    keep = [f.name for f in passthrough.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            metas = []
+            for raw in pdf[bin_col]:
+                if raw is None or len(raw) < 8 or bytes(raw[:4]) != FAKE_AUDIO_MAGIC:
+                    metas.append(None)
+                    continue
+                (rate,) = struct.unpack("<I", bytes(raw[4:8]))
+                pcm = np.frombuffer(bytes(raw[8:]), dtype=np.int16)
+                n = len(pcm)
+                rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if n else None
+                metas.append(
+                    {"sample_rate": int(rate), "n_samples": n,
+                     "duration_s": round(n / rate, 6) if rate else None,
+                     "rms": round(rms, 4) if rms is not None else None}
+                )
+            out = pdf[keep].copy().reset_index(drop=True)
+            out["audio_meta"] = metas
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

@@ -79,6 +79,23 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed word /
+# number / punctuation runs, whitespace runs. No lookarounds, no \p classes.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: split with the GPT-2-style regex entirely
+    JVM-side (`regexp_extract_all`), alongside the whitespace count. At
+    100 TB this is the cheap 'how many tokens am I about to train on'
+    estimator — one codegen'd projection, no Python."""
+    toks = F.regexp_extract_all(text_col, F.lit(BPE_PATTERN), 0)
+    return df.withColumn("n_bpe_tokens", F.size(toks)).withColumn(
+        "n_ws_tokens", F.size(_tokens(F.col(text_col)))
+    )
+
+
 _FP_SCHEMA = T.LongType()
 _FP_WINDOW = 8
 _FP_MOD = (1 << 61) - 1
