@@ -64,3 +64,59 @@ def test_rate_limit_stream(spark, tmp_path):
     assert bool(u1.loc[u1["n_requests"].idxmax(), "over_limit"])
     u2 = res[res.user_id == 2]
     assert not u2["over_limit"].any()
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState: counters accumulate across micro-batches,
+    and a conversation closed by the END marker drops its state."""
+    from docling_api_spark.schema import TRANSCRIPTS_SCHEMA
+    from docling_api_spark.streaming.stateful import conversation_progress
+
+    src = tmp_path / "turns"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=TRANSCRIPTS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+
+    import time
+
+    ts = "2024-01-01 00:00:00"
+    # file 1: conv a gets 2 turns, conv b gets 1
+    write_batch("b1", [
+        ("a", 0, "user", "<p>hi</p>", None, ts),
+        ("a", 1, "assistant", "reply", None, ts),
+        ("b", 0, "user", "x", None, ts),
+    ])
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    # file 2: conv a continues then closes with the END marker
+    write_batch("b2", [
+        ("a", 2, "tool", "result", "search", ts),
+        ("a", 3, "system", "", "END", ts),
+    ])
+
+    # maxFilesPerTrigger=1 turns the two files into two micro-batches of
+    # ONE query run — state must carry across the micro-batch boundary
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory").queryName("progress")
+        .outputMode("update").option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    res = spark.sql("SELECT * FROM progress").toPandas()
+    a = res[res.conv_id == "a"].sort_values("turns_seen")
+    # one update row per micro-batch that touched conv a
+    assert list(a["turns_seen"]) == [2, 4]        # 2 after mb1, 2+2 after mb2
+    assert list(a["max_turn_idx"]) == [1, 3]
+    assert list(a["complete"]) == [False, True]   # END marker closes it
+    b = res[res.conv_id == "b"]
+    assert list(b["turns_seen"]) == [1]
