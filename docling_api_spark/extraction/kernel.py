@@ -56,9 +56,14 @@ STATUS_SKIPPED_OCR = "skipped_ocr"
 # executor-side analog of the reference's model-cache volume S8)
 # ---------------------------------------------------------------------------
 
-# group 1 = comment, 2 = tag, 3 = text run (dispatch on lastindex, which is
-# measurably cheaper than startswith-probing the token string per match)
-_SCANNER = re.compile(r"(<!--.*?-->)|(<[^>]*>)|([^<]+)", re.DOTALL)
+# group 1 = comment, 2 = tag, 3 = text run, 4 = stray '<' (unclosed at EOF
+# or before another '<'). The alternation is TOTAL — every character of the
+# input is consumed by exactly one token — which lets the parser track
+# offsets with a running position instead of match objects, so it can use
+# findall (C-built tuples, no 2.6M .group() calls per million tokens).
+# A stray '<' is consumed and dropped, matching the old finditer behavior
+# of simply not matching it.
+_SCANNER = re.compile(r"(<!--.*?-->)|(<[^>]*>)|([^<]+)|(<)", re.DOTALL)
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _BASE64_RE = re.compile(r"[A-Za-z0-9+/]+={0,2}")
 _MD_MARKER = re.compile(r"^(#{1,6} |```|[-*] |\d+\. )", re.MULTILINE)
@@ -172,6 +177,12 @@ class _Table:
         self.end = -1
 
 
+# tag-token parse memo: tag strings repeat heavily (nav links, <p>, </p>,
+# <td>...), so (name, closing, selfclose) is cached per exact token string;
+# cleared if it ever exceeds ~128k entries (hostile unique-attr input)
+_TAG_MEMO: dict = {}
+
+
 def _parse_html(text: str):
     """One pass over the byte-stream; emits blocks and tables in document
     order. Best-effort on malformed input (stray '<', unclosed tags,
@@ -200,176 +211,187 @@ def _parse_html(text: str):
         nonlocal cur
         cur = None
 
-    for m in _SCANNER.finditer(text):
-        gi = m.lastindex
-        if gi == 1:  # comment
+    pos = 0
+    for _cmt, tag_tok, text_tok, _stray in _SCANNER.findall(text):
+        if text_tok:  # most common token kind — handled first
+            tok_start = pos
+            pos += len(text_tok)
+            if skip_depth:
+                continue
+            raw = text_tok
+            unescaped = _html.unescape(raw)
+            if cur is None:
+                if unescaped.strip() == "":
+                    continue
+                b = open_block("para")
+            else:
+                b = cur
+            if unescaped.strip():
+                if b.start < 0:
+                    b.start = tok_start + (len(raw) - len(raw.lstrip()))
+                b.end = pos - (len(raw) - len(raw.rstrip()))
+            b.parts.append(unescaped)
+            b.raw_parts.append(unescaped)
+            if a_depth > 0:
+                b.link_len += len(_norm(unescaped))
             continue
-        if gi == 2:  # tag
-            tok = m.group(2)
+        if not tag_tok:  # comment or stray '<': consumed, contributes nothing
+            pos += len(_cmt) if _cmt else 1
+            continue
+        tok = tag_tok
+        pos += len(tok)
+        info = _TAG_MEMO.get(tok, 0)
+        if info == 0:
             tm = _TAG_NAME.match(tok)
-            if not tm:
-                continue  # <!doctype>, <?...>, garbage
-            name = tm.group(1).lower()
-            closing = tok[1] == "/"
-            selfclose = tok.endswith("/>") or name in _VOID_TAGS
-            if not closing:
-                # hot common tags first (p / a / li dominate real payloads)
-                if name == "p" and not skip_depth:
-                    open_block("para")
+            if tm is None:
+                info = None  # <!doctype>, <?...>, garbage
+            else:
+                _nm = tm.group(1).lower()
+                info = (_nm, tok[1] == "/",
+                        tok.endswith("/>") or _nm in _VOID_TAGS)
+            if len(_TAG_MEMO) > 131072:  # bound worker memory on hostile input
+                _TAG_MEMO.clear()
+            _TAG_MEMO[tok] = info
+        if info is None:
+            continue
+        name, closing, selfclose = info
+        if not closing:
+            # hot common tags first (p / a / li dominate real payloads)
+            if name == "p" and not skip_depth:
+                open_block("para")
+                stack.append(name)
+                continue
+            if name == "a" and not skip_depth:
+                a_depth += 1
+                stack.append(name)
+                continue
+            if name == "li" and not skip_depth:
+                lst = list_stack[-1] if list_stack else ["ul", 0]
+                lst[1] += 1
+                b = open_block("list")
+                b.list_depth = max(1, len(list_stack))
+                b.list_idx = lst[1]
+                b.ordered = lst[0] == "ol"
+                stack.append(name)
+                continue
+            if name in _SKIP_TAGS:
+                if not selfclose:
                     stack.append(name)
-                    continue
-                if name == "a" and not skip_depth:
-                    a_depth += 1
+                    skip_depth += 1
+                continue
+            if skip_depth:
+                if not selfclose:
                     stack.append(name)
-                    continue
-                if name == "li" and not skip_depth:
-                    lst = list_stack[-1] if list_stack else ["ul", 0]
-                    lst[1] += 1
-                    b = open_block("list")
-                    b.list_depth = max(1, len(list_stack))
-                    b.list_idx = lst[1]
-                    b.ordered = lst[0] == "ol"
-                    stack.append(name)
-                    continue
-                if name in _SKIP_TAGS:
-                    if not selfclose:
-                        stack.append(name)
-                        skip_depth += 1
-                    continue
-                if skip_depth:
-                    if not selfclose:
-                        stack.append(name)
-                    continue
-                if name in _CHROME_TAGS:
-                    stack.append(name)
-                    chrome_depth += 1
-                    close_block()
-                    continue
-                if name == "table":
-                    close_block()
-                    nonlocal_t = _Table(next_id, chrome_depth > 0)
-                    next_id += 1
-                    table_stack.append(nonlocal_t)
-                    nodes.append(nonlocal_t)
-                    stack.append(name)
-                    continue
-                if table_stack and name in ("thead", "tbody", "tfoot", "tr", "td", "th"):
-                    t = table_stack[-1]
-                    if name == "thead":
-                        t.in_thead = True
-                    elif name == "tr":
+                continue
+            if name in _CHROME_TAGS:
+                stack.append(name)
+                chrome_depth += 1
+                close_block()
+                continue
+            if name == "table":
+                close_block()
+                nonlocal_t = _Table(next_id, chrome_depth > 0)
+                next_id += 1
+                table_stack.append(nonlocal_t)
+                nodes.append(nonlocal_t)
+                stack.append(name)
+                continue
+            if table_stack and name in ("thead", "tbody", "tfoot", "tr", "td", "th"):
+                t = table_stack[-1]
+                if name == "thead":
+                    t.in_thead = True
+                elif name == "tr":
+                    t.cur_row = []
+                elif name in ("td", "th"):
+                    if t.cur_row is None:
                         t.cur_row = []
-                    elif name in ("td", "th"):
+                    cell = _Block(-1, "cell", len(stack), t.chrome)
+                    cur = cell
+                stack.append(name)
+                continue
+            if name in ("ul", "ol"):
+                close_block()
+                list_stack.append([name, 0])
+                stack.append(name)
+                continue
+            if name in _HEADING_TAGS:
+                open_block("heading", _HEADING_TAGS[name])
+                stack.append(name)
+                continue
+            if name == "title":
+                open_block("heading", 1)
+                stack.append(name)
+                continue
+            if name == "pre":
+                open_block("code")
+                stack.append(name)
+                continue
+            if name == "blockquote":
+                open_block("quote")
+                stack.append(name)
+                continue
+            if name in ("br", "hr"):
+                if cur is not None:
+                    cur.parts.append(" ")
+                    cur.raw_parts.append("\n")
+                continue
+            if name in _BLOCK_TAGS:
+                close_block()
+                if not selfclose:
+                    stack.append(name)
+                continue
+            # inline tag (b/i/em/strong/code/span/...): not pushed — the
+            # matching close is a no-op (the `name in stack` guard below
+            # skips it), which saves a push+scan+pop per inline pair
+            continue
+        # closing tag
+        if stack and name in stack:
+            # pop to the matching open (tolerates interleaving)
+            while stack:
+                top = stack.pop()
+                if top in _SKIP_TAGS:
+                    skip_depth -= 1
+                elif top in _CHROME_TAGS:
+                    chrome_depth -= 1
+                elif top == "a":
+                    a_depth -= 1
+                elif top in ("ul", "ol"):
+                    if list_stack:
+                        list_stack.pop()
+                elif top == "table":
+                    if table_stack:
+                        t = table_stack.pop()
+                        if t.cur_row:
+                            t.rows.append(t.cur_row)
+                            t.cur_row = None
+                elif top == "thead":
+                    if table_stack:
+                        table_stack[-1].in_thead = False
+                elif top == "tr":
+                    if table_stack:
+                        t = table_stack[-1]
+                        if t.cur_row is not None:
+                            t.rows.append(t.cur_row)
+                            if t.in_thead or (name == "tr" and _tr_was_header(t)):
+                                t.header_rows = len(t.rows)
+                            t.cur_row = None
+                elif top in ("td", "th"):
+                    if table_stack and cell is not None:
+                        t = table_stack[-1]
                         if t.cur_row is None:
                             t.cur_row = []
-                        cell = _Block(-1, "cell", len(stack), t.chrome)
-                        cur = cell
-                    stack.append(name)
-                    continue
-                if name in ("ul", "ol"):
+                        t.cur_row.append(cell.text())
+                        if cell.start >= 0:
+                            if t.start < 0:
+                                t.start = cell.start
+                            t.end = max(t.end, cell.end)
+                        cell = None
+                        cur = None
+                if top in _BLOCK_TAGS or top in _HEADING_TAGS or top == "title":
                     close_block()
-                    list_stack.append([name, 0])
-                    stack.append(name)
-                    continue
-                if name in _HEADING_TAGS:
-                    open_block("heading", _HEADING_TAGS[name])
-                    stack.append(name)
-                    continue
-                if name == "title":
-                    open_block("heading", 1)
-                    stack.append(name)
-                    continue
-                if name == "pre":
-                    open_block("code")
-                    stack.append(name)
-                    continue
-                if name == "blockquote":
-                    open_block("quote")
-                    stack.append(name)
-                    continue
-                if name in ("br", "hr"):
-                    if cur is not None:
-                        cur.parts.append(" ")
-                        cur.raw_parts.append("\n")
-                    continue
-                if name in _BLOCK_TAGS:
-                    close_block()
-                    if not selfclose:
-                        stack.append(name)
-                    continue
-                # inline tag (b/i/em/strong/code/span/...): not pushed — the
-                # matching close is a no-op (the `name in stack` guard below
-                # skips it), which saves a push+scan+pop per inline pair
-                continue
-            # closing tag
-            if stack and name in stack:
-                # pop to the matching open (tolerates interleaving)
-                while stack:
-                    top = stack.pop()
-                    if top in _SKIP_TAGS:
-                        skip_depth -= 1
-                    elif top in _CHROME_TAGS:
-                        chrome_depth -= 1
-                    elif top == "a":
-                        a_depth -= 1
-                    elif top in ("ul", "ol"):
-                        if list_stack:
-                            list_stack.pop()
-                    elif top == "table":
-                        if table_stack:
-                            t = table_stack.pop()
-                            if t.cur_row:
-                                t.rows.append(t.cur_row)
-                                t.cur_row = None
-                    elif top == "thead":
-                        if table_stack:
-                            table_stack[-1].in_thead = False
-                    elif top == "tr":
-                        if table_stack:
-                            t = table_stack[-1]
-                            if t.cur_row is not None:
-                                t.rows.append(t.cur_row)
-                                if t.in_thead or (name == "tr" and _tr_was_header(t)):
-                                    t.header_rows = len(t.rows)
-                                t.cur_row = None
-                    elif top in ("td", "th"):
-                        if table_stack and cell is not None:
-                            t = table_stack[-1]
-                            if t.cur_row is None:
-                                t.cur_row = []
-                            t.cur_row.append(cell.text())
-                            if cell.start >= 0:
-                                if t.start < 0:
-                                    t.start = cell.start
-                                t.end = max(t.end, cell.end)
-                            cell = None
-                            cur = None
-                    if top in _BLOCK_TAGS or top in _HEADING_TAGS or top == "title":
-                        close_block()
-                    if top == name:
-                        break
-            continue
-        # text token
-        if skip_depth:
-            continue
-        raw = m.group(3)
-        unescaped = _html.unescape(raw)
-        if cur is None:
-            if unescaped.strip() == "":
-                continue
-            b = open_block("para")
-        else:
-            b = cur
-        if b.start < 0 and unescaped.strip():
-            lead_ws = len(raw) - len(raw.lstrip())
-            b.start = m.start() + lead_ws
-        if unescaped.strip():
-            trail_ws = len(raw) - len(raw.rstrip())
-            b.end = m.end() - trail_ws
-        b.parts.append(unescaped)
-        b.raw_parts.append(unescaped)
-        if a_depth > 0:
-            b.link_len += len(_norm(unescaped))
+                if top == name:
+                    break
+        continue
     # flush trailing row
     if table_stack:
         t = table_stack[-1]
