@@ -519,6 +519,19 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb_d, queries, dim=64, k=3)
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant: nearest-centroid cell assignment (vectorized
+    numpy matmul per batch), n_probe cells searched per query (rows-only
+    oracle; recall < 1 vs the exact sim_cosine_topk baseline)."""
+    from docling_api_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_cosine_topk(emb, queries, dim=64, k=3)
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_api_spark.operators.textstats import with_token_stats
 
@@ -746,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_embedding_norms": sim_embedding_norms,
         "sim_lsh_topk": sim_lsh_topk,
+        "sim_ivf_topk": sim_ivf_topk,
         "text_token_stats": text_token_stats,
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,

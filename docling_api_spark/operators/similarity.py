@@ -150,3 +150,72 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
             6,
         ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def _centroids(df: DataFrame, dim: int, n_centroids: int,
+               id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic coarse quantizer: the ``n_centroids`` lowest-id
+    vectors ARE the centroids (no runtime randomness, SURVEY.md §4.3).
+    A production deployment would train k-means|| offline and ship the
+    codebook like any model artifact (broadcast, S8-style)."""
+    rows = (
+        df.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        .select(vec_col).collect()
+    )
+    return np.vstack([np.asarray(r[0], dtype=np.float64) for r in rows])
+
+
+def _cell_assign_udf(cents: np.ndarray, n_probe: int = 1):
+    """Vectorized IVF cell assignment: one matmul per Arrow batch ranks
+    centroids by cosine; returns the top ``n_probe`` cell ids."""
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cn.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign
+
+
+def ivf_cosine_topk(df: DataFrame, queries: DataFrame, dim: int, k: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF ANN: corpus vectors live in their single nearest-centroid cell
+    (precomputable + partitionable at 100 TB — the scan prunes to probed
+    cells); each query probes its ``n_probe`` nearest cells and scores
+    only those candidates. Recall < 1 by construction; the exact
+    brute-force path (cosine_topk) is the correctness baseline."""
+    cents = _centroids(df, dim, n_centroids, id_col, vec_col)
+    one = _cell_assign_udf(cents, 1)
+    probe = _cell_assign_udf(cents, n_probe)
+    corpus = df.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+        F.element_at(one(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    pairs = corpus.join(F.broadcast(q), "cell").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "cand_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec"))
+            / F.greatest(_norm(F.col("qvec")) * _norm(F.col("cvec")), F.lit(1e-12)),
+            6,
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "cand_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
