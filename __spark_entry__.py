@@ -447,15 +447,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    # compute each vector's norm ONCE (O(N·d)) and carry it as a scalar, so
+    # the O(N^2) pair stage walks the arrays once for the dot product instead
+    # of three times; the quotient is the exact same float expression the
+    # DuckDB oracle evaluates (bit-stable rounding)
+    withn = emb.select("vec_id", "v", _norm(F.col("v")).alias("n"))
+    a = withn.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("n").alias("na"))
+    b = withn.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a", "id_b",
             F.round(
                 _dot(F.col("va"), F.col("vb"))
-                / F.greatest(_norm(F.col("va")) * _norm(F.col("vb")), F.lit(1e-12)),
+                / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)),
                 6,
             ).alias("cosine"),
         )

@@ -142,9 +142,13 @@ def main() -> None:
             "dedup_exact",
             "dedup_minhash_lsh",
             "dedup_simhash",
+            "dedup_embedding_lsh",
             "sim_cosine_topk",
+            "sim_ivf_topk",
             "text_quality",
+            "text_bpe_tokens",
             "text_fingerprint",
+            "multimodal_frames",
         ]:
             t0 = time.time()
             df = q[name](spark, SF_DIR)
