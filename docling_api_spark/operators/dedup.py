@@ -62,8 +62,11 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
     xxhash64(shingle, salted by i). One explode + one groupBy — the agg is
     a fixed-width array of mins, partial-aggregated map-side."""
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+    # xxhash64 is variadic: hashing (shingle, i) directly avoids allocating a
+    # salted concat string per shingle per hash (16x fewer string allocs);
+    # mins partial-aggregate map-side so only 16-long states shuffle
     mins = [
-        F.min(F.xxhash64(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -88,11 +91,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                 F.struct(
                     F.lit(b).alias("band"),
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[F.col("minhash")[b * rows_per_band + r].cast("string")
-                              for r in range(rows_per_band)],
-                        )
+                        *[F.col("minhash")[b * rows_per_band + r]
+                          for r in range(rows_per_band)]
                     ).alias("bucket"),
                 )
                 for b in range(bands)

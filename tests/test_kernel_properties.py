@@ -1,0 +1,71 @@
+"""Property-based kernel robustness (hypothesis): the extraction kernel
+must NEVER raise, always emit a valid capsule, and stay a pure function
+of its input — on arbitrary garbage, not just the generator's corpus.
+(C10 error-capsuling contract; reference modal_docling.py:259-264.)"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_api_spark.extraction.kernel import (
+    MAX_PAYLOAD_CHARS,
+    extract_flat,
+    extract_one,
+)
+
+VALID_STATUS = {"success", "error", "skipped_ocr"}
+
+payloads = st.one_of(
+    st.none(),
+    st.text(max_size=400),
+    # HTML-ish soup: tags, entities, brackets, whitespace
+    st.text(
+        alphabet="<>/ab &#;x\"'=\n\t-!%" , max_size=400
+    ),
+    # base64-alphabet strings (hit the b64 sniff path)
+    st.text(alphabet="ABCDEFabcdef0123456789+/=", min_size=0, max_size=200),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(payloads)
+def test_extract_one_total_and_deterministic(text):
+    r1 = extract_one(text)
+    r2 = extract_one(text)
+    assert r1 == r2  # pure function of the input
+    assert r1["status"] in VALID_STATUS
+    assert isinstance(r1["extracted_text"], str)
+    assert r1["pages"] >= 1
+    assert r1["n_nodes"] >= 0
+    if r1["status"] == "error":
+        assert r1["error"]
+    # span offsets are sane: within the raw input for non-decoded kinds
+    if r1["payload_kind"] in ("html", "markdown", "plain") and text:
+        for s in r1["spans"]:
+            assert 0 <= s[0] <= s[1] <= len(text)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(payloads, max_size=20))
+def test_extract_flat_agrees_with_extract_one(texts):
+    flat = extract_flat(texts)
+    assert len(flat["status"]) == len(texts)
+    assert flat["span_offsets"][0] == 0
+    assert flat["span_offsets"][-1] == len(flat["span_start"])
+    for i, t in enumerate(texts):
+        one = extract_one(t)
+        assert flat["status"][i] == one["status"]
+        assert flat["extracted_text"][i] == one["extracted_text"]
+        lo, hi = flat["span_offsets"][i], flat["span_offsets"][i + 1]
+        assert hi - lo == len(one["spans"])
+
+
+def test_oversize_boundary():
+    # plain prose (spaces keep it out of the base64 sniff path)
+    at = ("word " * (MAX_PAYLOAD_CHARS // 5 + 1))[:MAX_PAYLOAD_CHARS]
+    over = at + "xx"
+    r_at = extract_one(at)
+    assert r_at["status"] == "success" and r_at["payload_kind"] == "plain"
+    r = extract_one(over)
+    assert r["status"] == "error" and r["payload_kind"] == "oversize"
