@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> None:
         r.add_argument("--limit-buckets", type=int, default=None)
     s = sub.add_parser("status")
     s.add_argument("--output", required=True)
+    c = sub.add_parser("compact")
+    c.add_argument("--output", required=True)
+    c.add_argument("--files-per-bucket", type=int, default=1)
+    c.add_argument("--vacuum", action="store_true",
+                   help="delete orphaned run dirs after compaction "
+                        "(only when no run is in flight)")
     args = p.parse_args(argv)
 
     from docling_api_spark.session import get_spark
@@ -46,6 +52,13 @@ def main(argv: list[str] | None = None) -> None:
         from docling_api_spark.plans.pipeline import job_status
 
         job_status(spark, args.output).show(200, truncate=False)
+    elif args.cmd == "compact":
+        from docling_api_spark.plans.pipeline import compact, vacuum
+
+        summary = compact(spark, args.output, args.files_per_bucket)
+        if args.vacuum:
+            summary["vacuumed"] = vacuum(args.output)
+        print(json.dumps(summary))
     spark.stop()
 
 

@@ -33,14 +33,26 @@ class Manifest:
 
     def _read(self) -> dict:
         if not self.path.exists():
-            return {"runs": [], "buckets": []}
-        return json.loads(self.path.read_text())
+            return {"runs": [], "buckets": [], "run_counter": 0}
+        state = json.loads(self.path.read_text())
+        # back-compat: older manifests counted runs by list length
+        state.setdefault("run_counter", len(state["runs"]))
+        return state
+
+    def _write(self, state: dict) -> None:
+        self.dir.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(state, indent=1, sort_keys=True))
+        os.replace(tmp, self.path)  # atomic commit
 
     def committed_buckets(self) -> set[int]:
         return set(self._read()["buckets"])
 
     def next_run_id(self) -> str:
-        return f"run-{len(self._read()['runs']):04d}"
+        # monotonic counter, NEVER reused — compaction replaces the runs
+        # list, and recycling an id of an orphaned data dir would silently
+        # resurrect its rows (same (run_id, bucket) partition re-committed)
+        return f"run-{self._read()['run_counter']:04d}"
 
     def commit(self, run_id: str, snapshot_id: str, buckets: list[int]) -> None:
         state = self._read()
@@ -49,10 +61,21 @@ class Manifest:
             {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": new}
         )
         state["buckets"] = sorted(set(state["buckets"]) | set(new))
-        self.dir.mkdir(parents=True, exist_ok=True)
-        tmp = self.path.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(state, indent=1, sort_keys=True))
-        os.replace(tmp, self.path)  # atomic commit
+        state["run_counter"] += 1
+        self._write(state)
+
+    def replace_runs(self, run_id: str, snapshot_id: str) -> None:
+        """Compaction commit: the single ``run_id`` now carries EVERY
+        committed bucket; prior runs' data dirs become orphans (invisible
+        to committed_view). The committed-bucket set is unchanged — resume
+        semantics are unaffected."""
+        state = self._read()
+        state["runs"] = [
+            {"run_id": run_id, "snapshot_id": snapshot_id,
+             "buckets": list(state["buckets"])}
+        ]
+        state["run_counter"] += 1
+        self._write(state)
 
     def runs(self) -> list[dict]:
         return self._read()["runs"]

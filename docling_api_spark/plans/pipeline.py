@@ -27,12 +27,14 @@ Scale design:
 
 from __future__ import annotations
 
+import pathlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from docling_api_spark.operators.extract import extract_text_column
 from docling_api_spark.operators.metering import credits_col
-from docling_api_spark.plans.checkpoint import Manifest
+from docling_api_spark.plans.checkpoint import Manifest, committed_view
 
 DEFAULT_BUCKETS = 64
 SALT_BLOCK = 4096  # turns per salt block; >max Arrow batch, < skew threshold
@@ -195,6 +197,60 @@ def run_extraction(
     rows = written.count()
     manifest.commit(run_id, snapshot_id, pending)
     return {"run_id": run_id, "buckets": pending, "rows": rows, "resumed": bool(done)}
+
+
+def compact(spark: SparkSession, output_dir: str,
+            files_per_bucket: int = 1) -> dict:
+    """Rewrite all committed data into one fresh run with
+    ``files_per_bucket`` files per bucket — the Iceberg
+    rewrite-data-files analog. Every resume appends files to its buckets,
+    so a long-lived output accretes small files; compaction folds them.
+
+    Safety: the new run is fully written BEFORE the manifest atomically
+    swaps the runs list, and the committed-bucket set never changes, so a
+    crash mid-compaction leaves the previous state fully readable and a
+    rerun is idempotent. Must not race an in-flight extraction run.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 (local alias clarity)
+
+    manifest = Manifest(output_dir)
+    committed = committed_view(spark, output_dir)
+    run_id = manifest.next_run_id()
+    data_dir = f"{output_dir}/data"
+    n_buckets = max(len(manifest.committed_buckets()), 1)
+    (
+        committed.withColumn("run_id", F.lit(run_id))
+        # ~files_per_bucket files per bucket (hash collisions can merge two
+        # buckets into one task — each still writes its own directory)
+        .repartition(n_buckets * files_per_bucket, "bucket")
+        .write.mode("append")
+        .partitionBy("run_id", "bucket")
+        .parquet(data_dir)
+    )
+    rows = spark.read.parquet(data_dir).filter(F.col("run_id") == run_id).count()
+    manifest.replace_runs(run_id, snapshot_id=f"compact-{run_id}")
+    return {"run_id": run_id, "rows": rows,
+            "buckets": sorted(manifest.committed_buckets())}
+
+
+def vacuum(output_dir: str) -> list[str]:
+    """Delete data directories of runs no longer referenced by the
+    manifest (orphans from killed runs + pre-compaction runs) — the
+    Iceberg expire-snapshots/remove-orphan-files analog. Only safe when
+    no run is in flight (an in-flight run's uncommitted dir looks exactly
+    like an orphan)."""
+    import shutil
+
+    manifest = Manifest(output_dir)
+    live = {r["run_id"] for r in manifest.runs()}
+    removed = []
+    data = pathlib.Path(output_dir) / "data"
+    if data.exists():
+        for d in sorted(data.glob("run_id=*")):
+            if d.name.split("=", 1)[1] not in live:
+                shutil.rmtree(d)
+                removed.append(d.name)
+    return removed
 
 
 def job_status(spark: SparkSession, output_dir: str) -> DataFrame:

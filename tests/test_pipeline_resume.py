@@ -106,3 +106,53 @@ def test_lineage_metrics(spark, transcripts, tmp_path):
     # credits floor: every doc >= 1 credit (reference documents.py:35-41)
     assert (lineage["credits"] >= lineage["rows_out"]).all()
     assert (lineage["pages"] >= lineage["n_success"]).all()
+
+
+def test_compact_and_vacuum(spark, transcripts, tmp_path):
+    """Compaction folds multi-run small files into one run per the
+    committed set; content identical; vacuum removes orphaned run dirs;
+    a later incremental run still works (no run-id recycling)."""
+    import pathlib
+
+    from docling_api_spark.plans.checkpoint import Manifest
+    from docling_api_spark.plans.pipeline import compact, run_extraction, vacuum
+
+    out = tmp_path / "out"
+    # two runs -> files under two run_id dirs
+    run_extraction(spark, transcripts, str(out), n_buckets=8, limit_buckets=3)
+    run_extraction(spark, transcripts, str(out), n_buckets=8)
+    before = _read_committed(spark, out)
+    data = pathlib.Path(out) / "data"
+    dirs_before = {d.name for d in data.glob("run_id=*")}
+    assert len(dirs_before) == 2
+
+    summary = compact(spark, str(out), files_per_bucket=1)
+    assert summary["rows"] == len(before)
+    after = _read_committed(spark, out)
+    pd.testing.assert_frame_equal(
+        before[sorted(before.columns)], after[sorted(after.columns)],
+        check_like=True,
+    )
+    # manifest now references ONLY the compaction run; bucket set unchanged
+    m = Manifest(str(out))
+    assert [r["run_id"] for r in m.runs()] == [summary["run_id"]]
+    assert sorted(m.committed_buckets()) == summary["buckets"]
+
+    removed = vacuum(str(out))
+    assert set(removed) == {f"run_id={d}" for d in
+                            {n.split("=", 1)[1] for n in dirs_before}}
+    assert {d.name for d in data.glob("run_id=*")} == {
+        f"run_id={summary['run_id']}"
+    }
+    # content still intact after vacuum
+    pd.testing.assert_frame_equal(
+        before[sorted(before.columns)],
+        _read_committed(spark, out)[sorted(before.columns)],
+        check_like=True,
+    )
+    # resume is still a no-op, and run ids never recycle
+    p = run_extraction(spark, transcripts, str(out), n_buckets=8)
+    assert p["buckets"] == []
+    assert int(m.next_run_id().split("-")[1]) > int(
+        summary["run_id"].split("-")[1]
+    )
