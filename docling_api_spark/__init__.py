@@ -6,7 +6,7 @@ idiomatic Spark pipeline:
 
 - document/HTML -> cleaned markdown + content spans (Docling-style
   boilerplate stripping, DOM-density heuristics, table recovery), run
-  batch-wise through Arrow record batches (``mapInPandas``), never
+  batch-wise through Arrow record batches (``mapInArrow``), never
   per-row Python  [reference: deployments/modal/modal_docling.py:80-264]
 - metering / usage analytics as pure DataFrame aggregations
   [reference: api/services/key_service.py, api/routes/documents.py:35-78]
