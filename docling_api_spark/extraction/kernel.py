@@ -280,8 +280,12 @@ def _parse_html(text: str):
                     skip_depth += 1
                 continue
             if skip_depth:
+                # inside <script>/<style>/...: push an INERT marker so the
+                # matching close can be consumed positionally, but the pop
+                # never touches a_depth/chrome_depth/list/table state that
+                # this open (suppressed by skip) never incremented
                 if not selfclose:
-                    stack.append(name)
+                    stack.append("\0" + name)
                 continue
             if name in _CHROME_TAGS:
                 stack.append(name)
@@ -340,15 +344,27 @@ def _parse_html(text: str):
                 if not selfclose:
                     stack.append(name)
                 continue
-            # inline tag (b/i/em/strong/code/span/...): not pushed — the
-            # matching close is a no-op (the `name in stack` guard below
-            # skips it), which saves a push+scan+pop per inline pair
+            # inline tag (b/i/em/strong/code/span/...): pushed so that a
+            # mismatched close can pop THROUGH it and restore counters —
+            # '<em><a href=x>click</em><p>body</p>' must pop the unclosed
+            # <a> (restoring a_depth) when </em> arrives, or every later
+            # block is misclassified as link text. The push/pop cost is
+            # marginal next to the findall/memo wins (measured).
+            if not selfclose:
+                stack.append(name)
             continue
         # closing tag
-        if stack and name in stack:
+        inert_name = "\0" + name
+        if stack and (name in stack or inert_name in stack):
             # pop to the matching open (tolerates interleaving)
             while stack:
                 top = stack.pop()
+                if top[0] == "\0":
+                    # inert entry (opened under skip): no counter effects;
+                    # stop if it is this close's own positional match
+                    if top == inert_name:
+                        break
+                    continue
                 if top in _SKIP_TAGS:
                     skip_depth -= 1
                 elif top in _CHROME_TAGS:

@@ -61,6 +61,70 @@ def test_extract_flat_agrees_with_extract_one(texts):
         assert hi - lo == len(one["spans"])
 
 
+BODY = "long body paragraph with enough characters to pass the short-block rule"
+
+
+def test_unclosed_a_inside_inline_close_recovers():
+    """An unmatched inline close (</em>) pops through an unclosed <a>,
+    restoring a_depth — later blocks must NOT be dropped as link text."""
+    r = extract_one(f"<em><a href=x>click</em><p>{BODY}</p>")
+    assert r["extracted_text"] == BODY
+    # same document, well-formed: identical result
+    rw = extract_one(f"<em><a href=x>click</a></em><p>{BODY}</p>")
+    assert r["extracted_text"] == rw["extracted_text"]
+
+
+def test_interleaved_inline_block_closes_keep_two_blocks():
+    """'<b><p>x</b>y</p>' — the </b> pops through the open <p>, so y
+    starts a fresh paragraph (2 blocks, not 1 merged)."""
+    r = extract_one(f"<b><p>{BODY} one</b>{BODY} two</p>")
+    assert r["extracted_text"] == f"{BODY} one\n\n{BODY} two"
+
+
+def test_nested_unclosed_a_chain_recovers():
+    """Multiple unclosed <a>s under one inline tag: the inline close pops
+    them all; subsequent content is classified normally."""
+    r = extract_one(f"<span><a href=1>x<a href=2>y</span><p>{BODY}</p>")
+    assert BODY in r["extracted_text"]
+
+
+def test_close_inside_skip_region_is_inert():
+    """</a> (or any close) inside <script> must not decrement counters of
+    opens outside the skip region, and must not corrupt skip_depth."""
+    r = extract_one(
+        f"<p>before<script><a>x</a></div></script>after</p>"
+        f"<a>link</a><p>{BODY}</p>"
+    )
+    assert r["extracted_text"] == f"beforeafter\n\n{BODY}"
+    # link-density accounting still works after the skip region
+    r2 = extract_one(f"<script><a>x</a></script><p><a>tiny</a></p><p>{BODY}</p>")
+    assert r2["extracted_text"] == BODY  # short all-link block dropped
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["<em>", "</em>", "<a href=x>", "</a>", "<p>", "</p>", "<b>",
+             "</b>", "<script>", "</script>", "<nav>", "</nav>", "text ",
+             BODY, "<ul>", "<li>", "</li>", "</ul>", "<table>", "<tr>",
+             "<td>", "</td>", "</tr>", "</table>"]
+        ),
+        max_size=30,
+    )
+)
+def test_arbitrary_tag_interleavings_never_crash(parts):
+    """Fuzz over adversarial open/close interleavings (the ADVICE class):
+    total function, deterministic, sane spans."""
+    text = "".join(parts)
+    r1 = extract_one(text)
+    r2 = extract_one(text)
+    assert r1 == r2
+    assert r1["status"] in VALID_STATUS
+    for s in r1["spans"]:
+        assert 0 <= s[0] <= s[1] <= len(text)
+
+
 def test_oversize_boundary():
     # plain prose (spaces keep it out of the base64 sniff path)
     at = ("word " * (MAX_PAYLOAD_CHARS // 5 + 1))[:MAX_PAYLOAD_CHARS]
