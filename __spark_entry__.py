@@ -598,6 +598,27 @@ def extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 doc_json export with P2 gating (output_format='json', reference
+    modal_docling.py:251-255): the markdown column is NULL, the doc-tree
+    JSON column is populated; summary stats projected via get_json_object.
+    Rows-only oracle — the tree bytes are frozen by golden fixtures in
+    pytest (tests/test_oracle_fixtures.py)."""
+    from docling_api_spark.extraction.kernel import ExtractOptions
+    from docling_api_spark.operators.extract import extract_text_column
+
+    d = _t(spark, sf_dir, "documents")
+    out = extract_text_column(d, keep_cols=["doc_id"],
+                              options=ExtractOptions("json"))
+    return out.select(
+        "doc_id", "status", "payload_kind",
+        F.length("doc_json").alias("doc_json_len"),
+        F.get_json_object("doc_json", "$.pages").cast("int").alias("pages_from_json"),
+        F.get_json_object("doc_json", "$.schema_name").alias("schema_name"),
+        F.isnull("extracted_text").alias("markdown_gated_off"),
+    )
+
+
 def extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end transcript extraction: distributed deterministic
     generation -> mapInPandas extraction (the north-rule pipeline)."""
@@ -773,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "extract_documents": extract_documents,
+        "extract_doc_json": extract_doc_json,
         "extract_transcripts": extract_transcripts,
         "multimodal_features": multimodal_features,
         "multimodal_resize": multimodal_resize,

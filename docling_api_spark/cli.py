@@ -26,6 +26,12 @@ def main(argv: list[str] | None = None) -> None:
         r.add_argument("--snapshot", default="snap-0")
         r.add_argument("--buckets", type=int, default=64)
         r.add_argument("--limit-buckets", type=int, default=None)
+        r.add_argument("--output-format", default="markdown",
+                       choices=("markdown", "json", "both"),
+                       help="P2 export gating (reference schemas.py:112)")
+        r.add_argument("--no-tables", action="store_true",
+                       help="disable C3 table extraction "
+                            "(reference schemas.py:118)")
     s = sub.add_parser("status")
     s.add_argument("--output", required=True)
     c = sub.add_parser("compact")
@@ -40,12 +46,15 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark(app_name=f"docling_api_spark-{args.cmd}")
     if args.cmd in ("run", "resume"):
+        from docling_api_spark.extraction.kernel import ExtractOptions
         from docling_api_spark.plans.pipeline import run_extraction
 
         transcripts = spark.read.parquet(args.input)
         summary = run_extraction(
             spark, transcripts, args.output, snapshot_id=args.snapshot,
             n_buckets=args.buckets, limit_buckets=args.limit_buckets,
+            options=ExtractOptions(args.output_format,
+                                   not args.no_tables),
         )
         print(json.dumps(summary))
     elif args.cmd == "status":

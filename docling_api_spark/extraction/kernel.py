@@ -29,6 +29,7 @@ from __future__ import annotations
 import base64
 import binascii
 import html as _html
+import json as _json
 import re
 import unicodedata
 
@@ -50,6 +51,56 @@ PDFISH_MAGIC = "%PDFISH"
 STATUS_SUCCESS = "success"
 STATUS_ERROR = "error"
 STATUS_SKIPPED_OCR = "skipped_ocr"
+
+
+class ExtractOptions:
+    """Conversion options, plumbed into the extraction UDFs as constructor
+    constants (SURVEY §1.1 'broadcast literals passed to the UDF
+    constructor'; reference ConversionOptions api/models/schemas.py:110-124).
+
+    - ``output_format`` ∈ {markdown, json, both} (schemas.py:22-26, default
+      markdown per schemas.py:112); gating semantics mirror
+      docling_client.py:452-456 / modal_docling.py:251-255: the un-requested
+      column is NULL, never computed.
+    - ``enable_table_extraction`` (schemas.py:118, plumbed at
+      modal_docling.py:166): when False, table nodes are omitted from both
+      markdown and doc_json (they still count in ``n_nodes`` — a parse
+      statistic, not an emission statistic).
+
+    OCR/VLM fields are explicit non-goals (C4/C5, SURVEY §7.2).
+    """
+
+    __slots__ = ("output_format", "enable_table_extraction",
+                 "want_markdown", "want_json")
+
+    def __init__(self, output_format: str = "markdown",
+                 enable_table_extraction: bool = True):
+        if output_format not in ("markdown", "json", "both"):
+            raise ValueError(f"invalid output_format: {output_format!r}")
+        self.output_format = output_format
+        self.enable_table_extraction = enable_table_extraction
+        self.want_markdown = output_format in ("markdown", "both")
+        self.want_json = output_format in ("json", "both")
+
+
+DEFAULT_OPTIONS = ExtractOptions()
+
+
+def doc_json_str(payload_kind: str, pages: int, n_nodes: int, items: list) -> str:
+    """C7: deterministic doc-tree JSON export (the ``export_to_dict``
+    analog, modal_docling.py:255). Sorted keys + fixed separators — no
+    dict-order leaks (SURVEY §4.3); unicode kept literal (ensure_ascii
+    off) so the payload is byte-stable and human-readable."""
+    doc = {
+        "schema_name": "docling-spark",
+        "version": 1,
+        "kind": payload_kind,
+        "pages": pages,
+        "n_nodes": n_nodes,
+        "body": items,
+    }
+    return _json.dumps(doc, sort_keys=True, separators=(",", ":"),
+                       ensure_ascii=False)
 
 # ---------------------------------------------------------------------------
 # Precompiled automata (module-level: loaded once per Python worker, the
@@ -461,48 +512,79 @@ def _emit_table(t: _Table) -> str:
     return "\n".join(lines)
 
 
-def _extract_html(text: str):
+def _extract_html(text: str, options: ExtractOptions = DEFAULT_OPTIONS):
     nodes = _parse_html(text)
     out_parts: list[str] = []
     spans: list[tuple[int, int, int, str]] = []
+    items: list | None = [] if options.want_json else None
     n_nodes = 0
     for node in nodes:
         n_nodes += 1
         if isinstance(node, _Table):
             if node.chrome or not node.rows:
                 continue
+            if not options.enable_table_extraction:
+                continue  # C3 toggle (modal_docling.py:166)
             md = _emit_table(node)
             if not md:
                 continue
             out_parts.append(md)
             spans.append((max(node.start, 0), max(node.end, 0), node.node_id, "table"))
+            if items is not None:
+                items.append({
+                    "id": node.node_id,
+                    "kind": "table",
+                    "num_rows": len(node.rows),
+                    "num_cols": max(len(r) for r in node.rows),
+                    "header_rows": node.header_rows if node.header_rows > 0 else 1,
+                    "rows": node.rows,
+                    "prov": [max(node.start, 0), max(node.end, 0)],
+                })
             continue
         b = node
         if not _classify_block(b):
             continue
+        item: dict | None = None
         if b.kind == "heading":
-            md = "#" * max(1, min(6, b.level)) + " " + b.text()
+            lvl = max(1, min(6, b.level))
+            md = "#" * lvl + " " + b.text()
+            if items is not None:
+                item = {"kind": "heading", "level": lvl, "text": b.text()}
         elif b.kind == "list":
             indent = "  " * (b.list_depth - 1)
             marker = f"{b.list_idx}." if b.ordered else "-"
             md = f"{indent}{marker} {b.text()}"
+            if items is not None:
+                item = {"kind": "list_item", "text": b.text(),
+                        "depth": b.list_depth, "index": b.list_idx,
+                        "ordered": b.ordered}
         elif b.kind == "code":
             inner = unicodedata.normalize("NFC", "".join(b.raw_parts)).strip("\n")
             md = "```\n" + inner + "\n```"
+            if items is not None:
+                item = {"kind": "code", "text": inner}
         elif b.kind == "quote":
             md = "> " + b.text()
+            if items is not None:
+                item = {"kind": "quote", "text": b.text()}
         else:
             md = b.text()
+            if items is not None:
+                item = {"kind": "para", "text": b.text()}
         out_parts.append(md)
         spans.append((b.start, b.end, b.node_id, b.kind))
-    return "\n\n".join(out_parts), spans, 1, n_nodes
+        if item is not None:
+            item["id"] = b.node_id
+            item["prov"] = [b.start, b.end]
+            items.append(item)
+    return "\n\n".join(out_parts), spans, 1, n_nodes, items
 
 
 # ---------------------------------------------------------------------------
 # pdfish: synthetic page-layout format (C1 layout parse + C9 page count)
 # ---------------------------------------------------------------------------
 
-def _extract_pdfish(decoded: str):
+def _extract_pdfish(decoded: str, options: ExtractOptions = DEFAULT_OPTIONS):
     """Parse the deterministic '%PDFISH' layout text: page markers,
     per-page repeated header/footer furniture in <<...>> lines,
     #TITLE/#H2/#H3 headings, blank-line-separated paragraphs.
@@ -511,19 +593,29 @@ def _extract_pdfish(decoded: str):
     pages = 0
     out_parts: list[str] = []
     spans: list[tuple[int, int, int, str]] = []
+    items: list | None = [] if options.want_json else None
     node_id = 0
     para_lines: list[str] = []
     para_start = -1
     pos = 0
 
+    def emit(md: str, start: int, end: int, kind: str, item: dict | None):
+        nonlocal node_id
+        out_parts.append(md)
+        spans.append((start, end, node_id, kind))
+        if items is not None and item is not None:
+            item["id"] = node_id
+            item["prov"] = [start, end]
+            items.append(item)
+        node_id += 1
+
     def flush(end_pos: int):
-        nonlocal para_lines, para_start, node_id
+        nonlocal para_lines, para_start
         if para_lines:
             txt = _norm(" ".join(para_lines))
             if txt:
-                out_parts.append(txt)
-                spans.append((para_start, end_pos, node_id, "para"))
-                node_id += 1
+                emit(txt, para_start, end_pos, "para",
+                     {"kind": "para", "text": txt})
             para_lines = []
             para_start = -1
 
@@ -540,16 +632,17 @@ def _extract_pdfish(decoded: str):
             continue  # furniture: repeated page header/footer
         if ls.startswith("#TITLE "):
             flush(line_start - 1)
-            out_parts.append("# " + _norm(ls[7:]))
-            spans.append((line_start, line_start + len(line.rstrip()), node_id, "heading"))
-            node_id += 1
+            txt = _norm(ls[7:])
+            emit("# " + txt, line_start, line_start + len(line.rstrip()),
+                 "heading", {"kind": "heading", "level": 1, "text": txt})
             continue
         if ls.startswith("#H2 ") or ls.startswith("#H3 "):
             flush(line_start - 1)
             lvl = 2 if ls.startswith("#H2") else 3
-            out_parts.append("#" * lvl + " " + _norm(ls[4:]))
-            spans.append((line_start, line_start + len(line.rstrip()), node_id, "heading"))
-            node_id += 1
+            txt = _norm(ls[4:])
+            emit("#" * lvl + " " + txt, line_start,
+                 line_start + len(line.rstrip()), "heading",
+                 {"kind": "heading", "level": lvl, "text": txt})
             continue
         if ls == "":
             flush(line_start - 1)
@@ -558,14 +651,14 @@ def _extract_pdfish(decoded: str):
             para_start = line_start + (len(line) - len(line.lstrip()))
         para_lines.append(ls)
     flush(len(decoded))
-    return "\n\n".join(out_parts), spans, max(1, pages), node_id
+    return "\n\n".join(out_parts), spans, max(1, pages), node_id, items
 
 
 # ---------------------------------------------------------------------------
 # markdownish: near-passthrough with deterministic normalization
 # ---------------------------------------------------------------------------
 
-def _extract_markdown(text: str):
+def _extract_markdown(text: str, options: ExtractOptions = DEFAULT_OPTIONS):
     lines = text.split("\n")
     blocks: list[tuple[str, int, int, str]] = []  # (text, start, end, kind)
     buf: list[str] = []
@@ -624,16 +717,22 @@ def _extract_markdown(text: str):
     flush(in_fence)
     out = "\n\n".join(b[0] for b in blocks)
     spans = [(b[1], b[2], i, b[3]) for i, b in enumerate(blocks)]
-    return out, spans, 1, len(blocks)
+    items = (
+        [{"id": i, "kind": b[3], "text": b[0], "prov": [b[1], b[2]]}
+         for i, b in enumerate(blocks)]
+        if options.want_json else None
+    )
+    return out, spans, 1, len(blocks), items
 
 
 # ---------------------------------------------------------------------------
 # plain prose
 # ---------------------------------------------------------------------------
 
-def _extract_plain(text: str):
+def _extract_plain(text: str, options: ExtractOptions = DEFAULT_OPTIONS):
     spans: list[tuple[int, int, int, str]] = []
     out_parts: list[str] = []
+    items: list | None = [] if options.want_json else None
     node_id = 0
     idx = 0
     for para in _BLANK_RE.split(text):
@@ -641,75 +740,95 @@ def _extract_plain(text: str):
             start = text.index(para, idx) if para in text[idx:] else idx
             lead = len(para) - len(para.lstrip())
             trail = len(para) - len(para.rstrip())
-            out_parts.append(_norm(para))
+            txt = _norm(para)
+            out_parts.append(txt)
             spans.append((start + lead, start + len(para) - trail, node_id, "para"))
+            if items is not None:
+                items.append({"id": node_id, "kind": "para", "text": txt,
+                              "prov": [start + lead, start + len(para) - trail]})
             node_id += 1
             idx = start + len(para)
         else:
             idx += len(para)
-    return "\n\n".join(out_parts), spans, 1, node_id
+    return "\n\n".join(out_parts), spans, 1, node_id, items
 
 
 # ---------------------------------------------------------------------------
 # Top level: per-document dispatch with error capsuling (C10)
 # ---------------------------------------------------------------------------
 
-_EMPTY = {"extracted_text": "", "spans": [], "pages": 1, "n_nodes": 0}
+def _result(status: str, pkind: str, out: str, spans: list, pages: int,
+            n_nodes: int, items: list | None, options: ExtractOptions,
+            error: str | None = None) -> dict:
+    """Assemble one result row with P2 output-format gating
+    (docling_client.py:452-456): the un-requested export column is NULL.
+    Error/skipped capsules carry ``items=None`` → no doc_json (the
+    reference's error response has no content keys either,
+    modal_docling.py:259-264)."""
+    return {
+        "status": status,
+        "payload_kind": pkind,
+        "extracted_text": out if options.want_markdown else None,
+        "doc_json": (
+            doc_json_str(pkind, pages, n_nodes, items)
+            if options.want_json and items is not None else None
+        ),
+        "spans": spans,
+        "pages": pages,
+        "n_nodes": n_nodes,
+        "error": error,
+    }
 
 
-def extract_one(text: str | None) -> dict:
+def extract_one(text: str | None,
+                options: ExtractOptions = DEFAULT_OPTIONS) -> dict:
     """Extract a single payload. NEVER raises — any internal failure
     becomes a status='error' capsule (reference modal_docling.py:259-264)."""
     try:
         kind = sniff_kind(text)
         if kind == "empty":
-            return {"status": STATUS_SUCCESS, "payload_kind": "empty",
-                    "error": None, **_EMPTY}
+            return _result(STATUS_SUCCESS, "empty", "", [], 1, 0,
+                           [] if options.want_json else None, options)
         if kind == "oversize":
-            return {"status": STATUS_ERROR, "payload_kind": "oversize",
-                    "error": f"payload_too_large: {len(text)} > {MAX_PAYLOAD_CHARS}",
-                    **_EMPTY}
+            return _result(
+                STATUS_ERROR, "oversize", "", [], 1, 0, None, options,
+                error=f"payload_too_large: {len(text)} > {MAX_PAYLOAD_CHARS}")
         if kind == "needs_ocr":
-            return {"status": STATUS_SKIPPED_OCR, "payload_kind": "needs_ocr",
-                    "error": None, **_EMPTY}
+            return _result(STATUS_SKIPPED_OCR, "needs_ocr", "", [], 1, 0,
+                           None, options)
         if kind == "b64":
             try:
                 raw = base64.b64decode(text.strip().replace("\n", ""), validate=True)
                 decoded = raw.decode("utf-8")
             except (binascii.Error, UnicodeDecodeError) as e:
-                return {"status": STATUS_ERROR, "payload_kind": "b64",
-                        "error": f"invalid_base64_payload: {type(e).__name__}",
-                        **_EMPTY}
+                return _result(
+                    STATUS_ERROR, "b64", "", [], 1, 0, None, options,
+                    error=f"invalid_base64_payload: {type(e).__name__}")
             if decoded.startswith(PDFISH_MAGIC):
-                out, spans, pages, n = _extract_pdfish(decoded)
-                return {"status": STATUS_SUCCESS, "payload_kind": "pdfish",
-                        "extracted_text": out, "spans": spans, "pages": pages,
-                        "n_nodes": n, "error": None}
+                out, spans, pages, n, items = _extract_pdfish(decoded, options)
+                return _result(STATUS_SUCCESS, "pdfish", out, spans, pages,
+                               n, items, options)
             # decodable base64 but unknown magic -> treat decoded as plain
-            out, spans, pages, n = _extract_plain(decoded)
-            return {"status": STATUS_SUCCESS, "payload_kind": "b64_plain",
-                    "extracted_text": out, "spans": spans, "pages": pages,
-                    "n_nodes": n, "error": None}
+            out, spans, pages, n, items = _extract_plain(decoded, options)
+            return _result(STATUS_SUCCESS, "b64_plain", out, spans, pages,
+                           n, items, options)
         if kind == "html":
-            out, spans, pages, n = _extract_html(text)
-            return {"status": STATUS_SUCCESS, "payload_kind": "html",
-                    "extracted_text": out, "spans": spans, "pages": pages,
-                    "n_nodes": n, "error": None}
+            out, spans, pages, n, items = _extract_html(text, options)
+            return _result(STATUS_SUCCESS, "html", out, spans, pages, n,
+                           items, options)
         if kind == "markdown":
-            out, spans, pages, n = _extract_markdown(text)
-            return {"status": STATUS_SUCCESS, "payload_kind": "markdown",
-                    "extracted_text": out, "spans": spans, "pages": pages,
-                    "n_nodes": n, "error": None}
-        out, spans, pages, n = _extract_plain(text)
-        return {"status": STATUS_SUCCESS, "payload_kind": "plain",
-                "extracted_text": out, "spans": spans, "pages": pages,
-                "n_nodes": n, "error": None}
+            out, spans, pages, n, items = _extract_markdown(text, options)
+            return _result(STATUS_SUCCESS, "markdown", out, spans, pages, n,
+                           items, options)
+        out, spans, pages, n, items = _extract_plain(text, options)
+        return _result(STATUS_SUCCESS, "plain", out, spans, pages, n,
+                       items, options)
     except Exception as e:  # noqa: BLE001 — capsule, never crash the batch
-        return {"status": STATUS_ERROR, "payload_kind": "unknown",
-                "error": f"{type(e).__name__}: {e}", **_EMPTY}
+        return _result(STATUS_ERROR, "unknown", "", [], 1, 0, None, options,
+                       error=f"{type(e).__name__}: {e}")
 
 
-def extract_flat(texts) -> dict[str, list]:
+def extract_flat(texts, options: ExtractOptions = DEFAULT_OPTIONS) -> dict[str, list]:
     """Batch kernel, columnar form: flat Python lists ready for direct
     Arrow array construction (the ``mapInArrow`` fast path). Span structs
     are returned as four parallel flat arrays plus list offsets — the
@@ -719,15 +838,16 @@ def extract_flat(texts) -> dict[str, list]:
     Measured on this box, routing the output through pandas object
     columns (``mapInPandas`` serializer) costs ~35% of end-to-end
     throughput; this layout + ``mapInArrow`` recovers it."""
-    status: list = []; kind: list = []; text: list = []
+    status: list = []; kind: list = []; text: list = []; djson: list = []
     pages: list = []; n_nodes: list = []; error: list = []
     s_start: list = []; s_end: list = []; s_nid: list = []; s_kind: list = []
     offsets: list = [0]
     for t in texts:
-        r = extract_one(t)
+        r = extract_one(t, options)
         status.append(r["status"])
         kind.append(r["payload_kind"])
         text.append(r["extracted_text"])
+        djson.append(r["doc_json"])
         pages.append(r["pages"])
         n_nodes.append(r["n_nodes"])
         error.append(r["error"])
@@ -737,13 +857,14 @@ def extract_flat(texts) -> dict[str, list]:
         offsets.append(len(s_start))
     return {
         "status": status, "payload_kind": kind, "extracted_text": text,
+        "doc_json": djson,
         "pages": pages, "n_nodes": n_nodes, "error": error,
         "span_start": s_start, "span_end": s_end, "span_node_id": s_nid,
         "span_kind": s_kind, "span_offsets": offsets,
     }
 
 
-def extract_records(texts) -> dict[str, list]:
+def extract_records(texts, options: ExtractOptions = DEFAULT_OPTIONS) -> dict[str, list]:
     """Batch kernel: iterable of payload strings -> column lists.
 
     This is the unit that runs once per Arrow record batch inside
@@ -751,13 +872,14 @@ def extract_records(texts) -> dict[str, list]:
     Python calls."""
     cols: dict[str, list] = {
         "status": [], "payload_kind": [], "extracted_text": [],
-        "spans": [], "pages": [], "n_nodes": [], "error": [],
+        "doc_json": [], "spans": [], "pages": [], "n_nodes": [], "error": [],
     }
     for t in texts:
-        r = extract_one(t)
+        r = extract_one(t, options)
         cols["status"].append(r["status"])
         cols["payload_kind"].append(r["payload_kind"])
         cols["extracted_text"].append(r["extracted_text"])
+        cols["doc_json"].append(r["doc_json"])
         cols["spans"].append(
             [{"start": s[0], "end": s[1], "node_id": s[2], "kind": s[3]}
              for s in r["spans"]]

@@ -17,18 +17,22 @@ import pandas as pd
 from docling_api_spark.extraction.kernel import extract_records
 
 RESULT_COLS = [
-    "status", "payload_kind", "extracted_text", "spans", "pages",
-    "n_nodes", "error",
+    "status", "payload_kind", "extracted_text", "doc_json", "spans",
+    "pages", "n_nodes", "error",
 ]
 
 
 def oracle_extract(pdf: pd.DataFrame, text_col: str = "text",
-                   id_cols: list[str] | None = None) -> pd.DataFrame:
+                   id_cols: list[str] | None = None,
+                   options=None) -> pd.DataFrame:
     """Extract every row of ``pdf``; returns id columns + result columns,
     sorted by the id columns (fixtures are stored sorted; the Spark-side
     comparison is join-based and order-insensitive)."""
+    from docling_api_spark.extraction.kernel import DEFAULT_OPTIONS
+
     id_cols = id_cols or ["conv_id", "turn_idx"]
-    cols = extract_records(pdf[text_col].tolist())
+    cols = extract_records(pdf[text_col].tolist(),
+                           options if options is not None else DEFAULT_OPTIONS)
     out = pdf[id_cols].copy().reset_index(drop=True)
     for c in RESULT_COLS:
         out[c] = cols[c]

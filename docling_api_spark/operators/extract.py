@@ -38,19 +38,27 @@ def _result_schema(passthrough: T.StructType) -> T.StructType:
 
 
 def extract_text_column(df: DataFrame, text_col: str = "text",
-                        keep_cols: list[str] | None = None) -> DataFrame:
+                        keep_cols: list[str] | None = None,
+                        options=None) -> DataFrame:
     """Append extraction result columns, dropping the raw payload.
 
     ``keep_cols`` defaults to every column except ``text_col`` — the raw
     payload is dropped after extraction (at 100 TB you do not carry the
     input bytes through the shuffleless write, you re-read them from the
     source snapshot on resume).
+
+    ``options`` is an ``ExtractOptions`` (default: reference defaults —
+    output_format='markdown', tables on). It is captured in the UDF
+    closure as a per-job constant (SURVEY §1.1: 'broadcast literals
+    passed to the UDF constructor', never per-row).
     """
     keep = keep_cols if keep_cols is not None else [
         c for c in df.columns if c != text_col
     ]
     passthrough = T.StructType([df.schema[c] for c in keep])
     out_schema = _result_schema(passthrough)
+    opt_fmt = options.output_format if options is not None else "markdown"
+    opt_tables = options.enable_table_extraction if options is not None else True
 
     def run(batches: Iterator) -> Iterator:
         # import inside the task: keeps the closure tiny; the kernel module
@@ -58,7 +66,12 @@ def extract_text_column(df: DataFrame, text_col: str = "text",
         # is reused across batches (worker reuse is on by default).
         import pyarrow as pa
 
-        from docling_api_spark.extraction.kernel import extract_flat
+        from docling_api_spark.extraction.kernel import (
+            ExtractOptions,
+            extract_flat,
+        )
+
+        opts = ExtractOptions(opt_fmt, opt_tables)
 
         span_struct = pa.struct([
             pa.field("start", pa.int64(), nullable=False),
@@ -71,7 +84,7 @@ def extract_text_column(df: DataFrame, text_col: str = "text",
 
         for b in batches:
             idx = b.schema.get_field_index(text_col)
-            cols = extract_flat(b.column(idx).to_pylist())
+            cols = extract_flat(b.column(idx).to_pylist(), opts)
 
             structs = pa.StructArray.from_arrays(
                 [
@@ -92,6 +105,7 @@ def extract_text_column(df: DataFrame, text_col: str = "text",
                 pa.array(cols["status"], pa.string()),
                 pa.array(cols["payload_kind"], pa.string()),
                 pa.array(cols["extracted_text"], pa.string()),
+                pa.array(cols["doc_json"], pa.string()),
                 spans,
                 pa.array(cols["pages"], pa.int32()),
                 pa.array(cols["n_nodes"], pa.int32()),
@@ -104,6 +118,7 @@ def extract_text_column(df: DataFrame, text_col: str = "text",
                         pa.field("status", pa.string()),
                         pa.field("payload_kind", pa.string()),
                         pa.field("extracted_text", pa.string()),
+                        pa.field("doc_json", pa.string()),
                         pa.field("spans", pa.list_(span_struct)),
                         pa.field("pages", pa.int32()),
                         pa.field("n_nodes", pa.int32()),

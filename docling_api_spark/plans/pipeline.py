@@ -117,12 +117,14 @@ def run_extraction(
     n_buckets: int = DEFAULT_BUCKETS,
     num_partitions: int | None = None,
     limit_buckets: int | None = None,
+    options=None,
 ) -> dict:
     """One (resumable) run. Returns a summary dict.
 
     ``limit_buckets`` processes at most that many pending buckets — used
     by tests to simulate a killed run, and in production to bound a
-    single run's blast radius.
+    single run's blast radius. ``options`` is an ``ExtractOptions``
+    (output format / table toggle), a per-job constant in the UDF closure.
     """
     manifest = Manifest(output_dir)
     done = manifest.committed_buckets()
@@ -146,7 +148,8 @@ def run_extraction(
     # spark.sql.files.maxPartitionBytes, already load-balances; a heavy
     # conversation is just consecutive rows, split across scan partitions
     # like any other rows).
-    extracted = extract_text_column(pending_df, text_col="text")
+    extracted = extract_text_column(pending_df, text_col="text",
+                                    options=options)
 
     # The only shuffle moves the *extracted* output (boilerplate already
     # stripped — smaller than the input) into the bucketed write layout;

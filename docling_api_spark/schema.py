@@ -31,11 +31,14 @@ SPAN_STRUCT = T.StructType(
 )
 
 # Columns appended by the extraction operator (reference DocumentResult:
-# status / pages / markdown / error — schemas.py:138-146; spans are ours).
+# status / pages / markdown / json / error — schemas.py:138-146; spans are
+# ours). extracted_text / doc_json are NULL when not requested by the
+# output_format option (P2 gating, docling_client.py:452-456).
 EXTRACT_RESULT_FIELDS = [
     T.StructField("status", T.StringType(), False),
     T.StructField("payload_kind", T.StringType(), False),
     T.StructField("extracted_text", T.StringType(), True),
+    T.StructField("doc_json", T.StringType(), True),
     T.StructField("spans", T.ArrayType(SPAN_STRUCT), True),
     T.StructField("pages", T.IntegerType(), False),
     T.StructField("n_nodes", T.IntegerType(), False),

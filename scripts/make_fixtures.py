@@ -16,16 +16,22 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+from docling_api_spark.extraction.kernel import ExtractOptions
 from docling_api_spark.extraction.oracle import oracle_extract, spans_to_json
 from docling_api_spark.gen import DEFAULT_SEED, gen_transcripts_pdf
 
 FIXTURE_CONVS = 120
 FIXTURE_DIR = pathlib.Path(__file__).resolve().parent.parent / "fixtures"
 
+# fixtures freeze BOTH export surfaces (C6 markdown + C7 doc_json); the
+# markdown bytes are identical to output_format='markdown' by construction
+# (tested in tests/test_kernel.py)
+FIXTURE_OPTIONS = ExtractOptions(output_format="both")
+
 
 def main() -> None:
     pdf = gen_transcripts_pdf(FIXTURE_CONVS, seed=DEFAULT_SEED)
-    golden = oracle_extract(pdf)
+    golden = oracle_extract(pdf, options=FIXTURE_OPTIONS)
     golden["spans_json"] = spans_to_json(golden["spans"])
     golden = golden.drop(columns=["spans"])
     out = FIXTURE_DIR / "golden_extractions.parquet"

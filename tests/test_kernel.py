@@ -8,9 +8,12 @@ import base64
 from docling_api_spark.extraction.kernel import (
     MAX_PAYLOAD_CHARS,
     OCR_SENTINEL,
+    ExtractOptions,
     extract_one,
     sniff_kind,
 )
+
+BOTH = ExtractOptions(output_format="both")
 
 
 # --- S4: payload sniffing ---------------------------------------------------
@@ -90,6 +93,111 @@ def test_table_pipe_escaping():
     html = "<table><tr><td>a|b</td><td>c</td></tr></table>"
     r = extract_one(html)
     assert "a\\|b" in r["extracted_text"]
+
+
+# --- C3 toggle + C7 doc_json + P2 output-format gating ------------------------
+
+TABLE_HTML = (
+    "<h1>Doc Title Here</h1>"
+    "<table><thead><tr><th>A</th><th>B</th></tr></thead>"
+    "<tbody><tr><td>1</td><td>2</td></tr></tbody></table>"
+    "<p>A body paragraph long enough to be kept as main content here.</p>"
+)
+
+
+def test_table_toggle_disables_tables_everywhere():
+    """C3: enable_table_extraction=False (schemas.py:118 ->
+    modal_docling.py:166) removes tables from markdown AND doc_json."""
+    on = extract_one(TABLE_HTML, BOTH)
+    off = extract_one(TABLE_HTML, ExtractOptions("both", enable_table_extraction=False))
+    assert "| A | B |" in on["extracted_text"]
+    assert '"kind":"table"' in on["doc_json"]
+    assert "|" not in off["extracted_text"]
+    assert '"kind":"table"' not in off["doc_json"]
+    # non-table content identical; n_nodes is a parse stat, unchanged
+    assert "# Doc Title Here" in off["extracted_text"]
+    assert "body paragraph" in off["extracted_text"]
+    assert on["n_nodes"] == off["n_nodes"]
+    assert len(off["spans"]) == len(on["spans"]) - 1
+
+
+def test_output_format_gating():
+    """P2 (docling_client.py:452-456): the un-requested export is NULL."""
+    md = extract_one(TABLE_HTML)  # default: markdown (schemas.py:112)
+    js = extract_one(TABLE_HTML, ExtractOptions("json"))
+    both = extract_one(TABLE_HTML, BOTH)
+    assert md["doc_json"] is None and md["extracted_text"] is not None
+    assert js["extracted_text"] is None and js["doc_json"] is not None
+    assert both["extracted_text"] == md["extracted_text"]
+    assert both["doc_json"] == js["doc_json"]
+    # spans/pages/status are not gated (our north-rule columns)
+    assert md["spans"] == js["spans"] == both["spans"]
+
+
+def test_doc_json_structure_and_determinism():
+    import json
+
+    r = extract_one(TABLE_HTML, BOTH)
+    doc = json.loads(r["doc_json"])
+    assert doc["schema_name"] == "docling-spark"
+    assert doc["kind"] == "html" and doc["pages"] == 1
+    kinds = [it["kind"] for it in doc["body"]]
+    assert kinds == ["heading", "table", "para"]
+    tbl = doc["body"][1]
+    assert tbl["num_rows"] == 2 and tbl["num_cols"] == 2
+    assert tbl["rows"] == [["A", "B"], ["1", "2"]]
+    assert tbl["header_rows"] == 1
+    heading = doc["body"][0]
+    assert heading["level"] == 1 and heading["text"] == "Doc Title Here"
+    # prov offsets index into the raw input
+    p = doc["body"][2]
+    assert TABLE_HTML[p["prov"][0]:p["prov"][1]].startswith("A body paragraph")
+    # byte-determinism: serialize twice, sorted keys
+    assert r["doc_json"] == extract_one(TABLE_HTML, BOTH)["doc_json"]
+    assert r["doc_json"] == json.dumps(doc, sort_keys=True, separators=(",", ":"),
+                                       ensure_ascii=False)
+
+
+def test_doc_json_for_non_html_kinds():
+    import base64 as b64
+    import json
+
+    # pdfish: heading levels + paragraphs survive into the tree
+    doc = (
+        "%PDFISH-1.0\n%PAGE 1\n#TITLE My Title\nbody text one\n\n"
+        "#H2 Section\nmore body text here\n%PAGE 2\nlast page para"
+    )
+    r = extract_one(b64.b64encode(doc.encode()).decode(), BOTH)
+    tree = json.loads(r["doc_json"])
+    assert tree["kind"] == "pdfish" and tree["pages"] == 2
+    assert [it["kind"] for it in tree["body"]][:3] == ["heading", "para", "heading"]
+    assert tree["body"][2]["level"] == 2
+    # markdown + plain + empty
+    rm = extract_one("# T\n\nbody words here", BOTH)
+    assert json.loads(rm["doc_json"])["kind"] == "markdown"
+    rp = extract_one("just plain words in a paragraph", BOTH)
+    assert json.loads(rp["doc_json"])["body"][0]["kind"] == "para"
+    re_ = extract_one("", BOTH)
+    assert json.loads(re_["doc_json"])["body"] == []
+    # error capsules carry no doc tree (modal_docling.py:259-264)
+    ro = extract_one("y " * (MAX_PAYLOAD_CHARS // 2 + 10), BOTH)
+    assert ro["status"] == "error" and ro["doc_json"] is None
+
+
+def test_markdown_bytes_invariant_across_formats():
+    """The frozen-fixture invariant: 'both' produces byte-identical
+    markdown to the default 'markdown' mode over the generator corpus."""
+    from docling_api_spark.gen import payload_for
+
+    for conv in range(8):
+        for turn in range(6):
+            _, text = payload_for(42, conv, turn)
+            a = extract_one(text)
+            b = extract_one(text, BOTH)
+            assert a["extracted_text"] == b["extracted_text"]
+            assert a["spans"] == b["spans"]
+            assert (a["status"], a["pages"], a["n_nodes"]) == (
+                b["status"], b["pages"], b["n_nodes"])
 
 
 # --- C6: markdown emission (lists, code, quote) ------------------------------

@@ -11,11 +11,12 @@ from tests.conftest import canon_spans
 
 
 def _spark_extract_pdf(spark, n_convs: int, partitions: int) -> pd.DataFrame:
+    from docling_api_spark.extraction.kernel import ExtractOptions
     from docling_api_spark.gen import transcripts_df
     from docling_api_spark.operators.extract import extract_text_column
 
     df = transcripts_df(spark, n_convs, partitions=partitions)
-    out = extract_text_column(df).toPandas()
+    out = extract_text_column(df, options=ExtractOptions("both")).toPandas()
     out["spans_json"] = out["spans"].map(canon_spans)
     return (
         out.drop(columns=["spans"])
@@ -24,8 +25,8 @@ def _spark_extract_pdf(spark, n_convs: int, partitions: int) -> pd.DataFrame:
     )
 
 
-COMPARE_COLS = ["status", "payload_kind", "extracted_text", "pages",
-                "n_nodes", "spans_json", "error"]
+COMPARE_COLS = ["status", "payload_kind", "extracted_text", "doc_json",
+                "pages", "n_nodes", "spans_json", "error"]
 
 
 def _assert_equal(res: pd.DataFrame, ref: pd.DataFrame):
@@ -69,6 +70,40 @@ def test_arrow_batch_size_invariance(spark, golden):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     _assert_equal(res, sub)
+
+
+def test_options_plumb_through_spark_operator(spark):
+    """P2 gating + C3 toggle as UDF-closure constants, end-to-end through
+    mapInArrow (the Spark analog of ConversionOptions plumbing)."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.extraction.kernel import ExtractOptions
+    from docling_api_spark.gen import transcripts_df
+    from docling_api_spark.operators.extract import extract_text_column
+
+    df = transcripts_df(spark, 30, partitions=2)
+    md = extract_text_column(df).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("doc_json").alias("n_json"),
+        F.count("extracted_text").alias("n_md"),
+    ).collect()[0]
+    assert md["n_json"] == 0 and md["n_md"] == md["n"]
+
+    js = extract_text_column(df, options=ExtractOptions("json")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("doc_json").alias("n_json"),
+        F.count("extracted_text").alias("n_md"),
+        F.sum((F.col("status") == "success").cast("long")).alias("ok"),
+    ).collect()[0]
+    assert js["n_md"] == 0 and js["n_json"] == js["ok"]
+
+    no_tbl = extract_text_column(
+        df, options=ExtractOptions("both", enable_table_extraction=False)
+    ).agg(
+        F.sum(F.col("doc_json").contains('"kind":"table"').cast("long")).alias("t_json"),
+        F.sum(F.exists("spans", lambda s: s["kind"] == F.lit("table")).cast("long")).alias("t_span"),
+    ).collect()[0]
+    assert (no_tbl["t_json"] or 0) == 0 and (no_tbl["t_span"] or 0) == 0
 
 
 def test_documents_table_extraction(spark):
