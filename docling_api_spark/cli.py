@@ -39,7 +39,8 @@ def main(argv: list[str] | None = None) -> None:
     c.add_argument("--files-per-bucket", type=int, default=1)
     c.add_argument("--vacuum", action="store_true",
                    help="delete orphaned run dirs after compaction "
-                        "(only when no run is in flight)")
+                        "(in-flight runs are leased at id reservation and "
+                        "spared until the grace period lapses)")
     args = p.parse_args(argv)
 
     from docling_api_spark.session import get_spark

@@ -33,10 +33,12 @@ class Manifest:
 
     def _read(self) -> dict:
         if not self.path.exists():
-            return {"runs": [], "buckets": [], "run_counter": 0}
+            return {"runs": [], "buckets": [], "run_counter": 0,
+                    "inflight": []}
         state = json.loads(self.path.read_text())
         # back-compat: older manifests counted runs by list length
         state.setdefault("run_counter", len(state["runs"]))
+        state.setdefault("inflight", [])
         return state
 
     def _write(self, state: dict) -> None:
@@ -49,10 +51,23 @@ class Manifest:
         return set(self._read()["buckets"])
 
     def next_run_id(self) -> str:
-        # monotonic counter, NEVER reused — compaction replaces the runs
-        # list, and recycling an id of an orphaned data dir would silently
-        # resurrect its rows (same (run_id, bucket) partition re-committed)
-        return f"run-{self._read()['run_counter']:04d}"
+        """RESERVE the next run id: the incremented counter is persisted
+        atomically BEFORE any data is written, so ids are never reused —
+        a run that crashes after writing parquet but before committing
+        burns its id and its directory stays an invisible orphan until
+        vacuum (recycling the id would resurrect the orphan's rows into
+        the re-committed (run_id, bucket) partitions). The id is also
+        recorded as in-flight: vacuum() will not delete a fresh
+        uncommitted dir out from under a live run."""
+        state = self._read()
+        run_id = f"run-{state['run_counter']:04d}"
+        state["run_counter"] += 1
+        state["inflight"].append(run_id)
+        self._write(state)
+        return run_id
+
+    def _settle(self, state: dict, run_id: str) -> None:
+        state["inflight"] = [r for r in state["inflight"] if r != run_id]
 
     def commit(self, run_id: str, snapshot_id: str, buckets: list[int]) -> None:
         state = self._read()
@@ -61,7 +76,7 @@ class Manifest:
             {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": new}
         )
         state["buckets"] = sorted(set(state["buckets"]) | set(new))
-        state["run_counter"] += 1
+        self._settle(state, run_id)
         self._write(state)
 
     def replace_runs(self, run_id: str, snapshot_id: str) -> None:
@@ -74,8 +89,11 @@ class Manifest:
             {"run_id": run_id, "snapshot_id": snapshot_id,
              "buckets": list(state["buckets"])}
         ]
-        state["run_counter"] += 1
+        self._settle(state, run_id)
         self._write(state)
+
+    def inflight(self) -> set[str]:
+        return set(self._read()["inflight"])
 
     def runs(self) -> list[dict]:
         return self._read()["runs"]

@@ -129,18 +129,20 @@ def run_extraction(
     manifest = Manifest(output_dir)
     done = manifest.committed_buckets()
     df = with_bucket(transcripts, n_buckets)
-    pending_df = df.filter(~F.col("bucket").isin(sorted(done))) if done else df
 
-    # which buckets are pending this run? (cheap distinct over the bucket col)
-    pending = sorted(
-        r["bucket"] for r in pending_df.select("bucket").distinct().collect()
-    )
+    # pending = the arithmetic complement of the committed set — O(B) in
+    # the driver, NO scan of the input (at 100 TB a distinct() over the
+    # bucket column would be a paid extra pass per resume). A pending
+    # bucket with zero input rows simply commits empty.
+    pending = sorted(set(range(n_buckets)) - done)
     if limit_buckets is not None:
         pending = pending[:limit_buckets]
-        pending_df = pending_df.filter(F.col("bucket").isin(pending))
     if not pending:
-        return {"run_id": manifest.next_run_id(), "buckets": [], "rows": 0,
-                "resumed": True}
+        return {"run_id": None, "buckets": [], "rows": 0, "resumed": True}
+    if len(pending) == n_buckets:
+        pending_df = df  # fresh run: no filter, scan feeds extraction directly
+    else:
+        pending_df = df.filter(F.col("bucket").isin(pending))
 
     # Extraction runs straight off the source scan — NO pre-shuffle: it is
     # per-turn independent, and shuffling the raw payload rows first costs
@@ -176,11 +178,14 @@ def run_extraction(
         .parquet(data_dir)
     )
 
-    # lineage from the data actually written (verify-what-committed):
+    # lineage from the data actually written (verify-what-committed): ONE
+    # read-back pass aggregated to <=n_buckets rows, collected, and both
+    # (a) appended to the lineage table and (b) summed for the run's row
+    # count — no second full count() job over the written files.
     written = spark.read.parquet(data_dir).filter(
         (F.col("run_id") == run_id) & F.col("bucket").isin(pending)
     )
-    lineage = (
+    lineage_rows = (
         written.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("rows_out"),
@@ -191,13 +196,22 @@ def run_extraction(
             F.sum("pages").alias("pages"),
             F.sum(credits_col(F.col("pages"))).alias("credits"),
         )
-        .withColumn("snapshot_id", F.lit(snapshot_id))
-        .withColumnRenamed("bucket", "partition_id")
-        .withColumn("run_id", F.lit(run_id))
+        .collect()
+    )
+    from docling_api_spark.schema import LINEAGE_SCHEMA
+
+    lineage = spark.createDataFrame(
+        [
+            (run_id, snapshot_id, int(r["bucket"]), int(r["rows_in"]),
+             int(r["rows_out"]), int(r["n_success"]), int(r["n_error"]),
+             int(r["n_skipped_ocr"]), int(r["pages"]), int(r["credits"]))
+            for r in lineage_rows
+        ],
+        schema=LINEAGE_SCHEMA,
     )
     lineage.coalesce(1).write.mode("append").parquet(f"{output_dir}/lineage")
 
-    rows = written.count()
+    rows = sum(int(r["rows_out"]) for r in lineage_rows)
     manifest.commit(run_id, snapshot_id, pending)
     return {"run_id": run_id, "buckets": pending, "rows": rows, "resumed": bool(done)}
 
@@ -223,9 +237,13 @@ def compact(spark: SparkSession, output_dir: str,
     n_buckets = max(len(manifest.committed_buckets()), 1)
     (
         committed.withColumn("run_id", F.lit(run_id))
-        # ~files_per_bucket files per bucket (hash collisions can merge two
-        # buckets into one task — each still writes its own directory)
-        .repartition(n_buckets * files_per_bucket, "bucket")
+        # salt the shuffle key like run_extraction's write does: bucket
+        # alone hashes a whole bucket to one partition (= one file), which
+        # silently ignores files_per_bucket > 1
+        .withColumn("_wsalt", F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                                     F.lit(files_per_bucket)))
+        .repartition(n_buckets * files_per_bucket, "bucket", "_wsalt")
+        .drop("_wsalt")
         .write.mode("append")
         .partitionBy("run_id", "bucket")
         .parquet(data_dir)
@@ -236,23 +254,40 @@ def compact(spark: SparkSession, output_dir: str,
             "buckets": sorted(manifest.committed_buckets())}
 
 
-def vacuum(output_dir: str) -> list[str]:
+def vacuum(output_dir: str, grace_seconds: float = 86400.0) -> list[str]:
     """Delete data directories of runs no longer referenced by the
     manifest (orphans from killed runs + pre-compaction runs) — the
-    Iceberg expire-snapshots/remove-orphan-files analog. Only safe when
-    no run is in flight (an in-flight run's uncommitted dir looks exactly
-    like an orphan)."""
+    Iceberg expire-snapshots/remove-orphan-files analog.
+
+    Concurrency guard: a run id reserved by ``next_run_id`` but not yet
+    committed is IN-FLIGHT (Manifest.inflight) — its uncommitted dir
+    looks exactly like an orphan, so vacuum skips it unless the dir has
+    been idle longer than ``grace_seconds`` (a crashed run's lease ages
+    out; a live run keeps writing). mtime here is an ops-plane staleness
+    signal only — nothing in the data plane depends on it."""
     import shutil
+    import time
 
     manifest = Manifest(output_dir)
     live = {r["run_id"] for r in manifest.runs()}
+    inflight = manifest.inflight()
+    now = time.time()
     removed = []
     data = pathlib.Path(output_dir) / "data"
     if data.exists():
         for d in sorted(data.glob("run_id=*")):
-            if d.name.split("=", 1)[1] not in live:
-                shutil.rmtree(d)
-                removed.append(d.name)
+            rid = d.name.split("=", 1)[1]
+            if rid in live:
+                continue
+            if rid in inflight:
+                try:
+                    newest = max(p.stat().st_mtime for p in d.rglob("*") if p.is_file())
+                except ValueError:
+                    newest = d.stat().st_mtime
+                if now - newest < grace_seconds:
+                    continue  # live (or freshly crashed) run: leave it
+            shutil.rmtree(d)
+            removed.append(d.name)
     return removed
 
 

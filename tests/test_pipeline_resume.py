@@ -89,6 +89,96 @@ def test_orphan_files_invisible(spark, transcripts, tmp_path):
     assert committed_view(spark, str(out)).count() == committed_before
 
 
+def test_crashed_run_id_is_burned_not_reused(spark, transcripts, tmp_path):
+    """A run that reserves an id and writes data but crashes before
+    commit must NOT have its id recycled — the next run appends under a
+    fresh id and the orphan rows stay invisible (no double counting)."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.extract import extract_text_column
+    from docling_api_spark.plans.checkpoint import Manifest, committed_view
+    from docling_api_spark.plans.pipeline import run_extraction, with_bucket
+
+    out = tmp_path / "out"
+    m = Manifest(str(out))
+    # simulate the crashed run: id reserved, parquet written, NO commit
+    dead_id = m.next_run_id()
+    orphan = extract_text_column(with_bucket(transcripts, 4)).withColumn(
+        "run_id", F.lit(dead_id)
+    )
+    orphan.write.mode("append").partitionBy("run_id", "bucket").parquet(
+        f"{out}/data"
+    )
+    assert dead_id in m.inflight()
+
+    # the real run gets a DIFFERENT id; its output excludes orphan rows
+    s = run_extraction(spark, transcripts, str(out), n_buckets=4)
+    assert s["run_id"] != dead_id
+    n_input = transcripts.count()
+    assert s["rows"] == n_input
+    assert committed_view(spark, str(out)).count() == n_input
+    assert s["run_id"] not in m.inflight()  # settled by commit
+
+
+def test_noop_resume_reserves_no_id(spark, transcripts, tmp_path):
+    from docling_api_spark.plans.checkpoint import Manifest
+    from docling_api_spark.plans.pipeline import run_extraction
+
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(out), n_buckets=4)
+    counter_before = Manifest(str(out))._read()["run_counter"]
+    p = run_extraction(spark, transcripts, str(out), n_buckets=4)
+    assert p["buckets"] == [] and p["run_id"] is None
+    assert Manifest(str(out))._read()["run_counter"] == counter_before
+
+
+def test_vacuum_spares_inflight_run_within_grace(spark, transcripts, tmp_path):
+    """vacuum must not delete an uncommitted dir of a run that is still
+    in flight (lease recorded at id reservation); after the grace period
+    a crashed run's orphan dir is reclaimed."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.extract import extract_text_column
+    from docling_api_spark.plans.checkpoint import Manifest
+    from docling_api_spark.plans.pipeline import run_extraction, vacuum, with_bucket
+
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(out), n_buckets=4, limit_buckets=2)
+    m = Manifest(str(out))
+    live_id = m.next_run_id()  # a concurrent run, mid-write
+    extract_text_column(with_bucket(transcripts, 4)).limit(50).withColumn(
+        "run_id", F.lit(live_id)
+    ).write.mode("append").partitionBy("run_id", "bucket").parquet(f"{out}/data")
+
+    assert vacuum(str(out)) == []  # in-flight dir spared
+    import pathlib
+
+    assert any(
+        d.name == f"run_id={live_id}"
+        for d in (pathlib.Path(out) / "data").glob("run_id=*")
+    )
+    # after the grace period the crashed run's dir is reclaimed
+    removed = vacuum(str(out), grace_seconds=0.0)
+    assert removed == [f"run_id={live_id}"]
+
+
+def test_compact_files_per_bucket(spark, transcripts, tmp_path):
+    """files_per_bucket > 1 must actually fan each bucket's rows out over
+    that many files (salted write shuffle, not bucket-only hashing)."""
+    import pathlib
+
+    from docling_api_spark.plans.pipeline import compact, run_extraction
+
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(out), n_buckets=2)
+    summary = compact(spark, str(out), files_per_bucket=3)
+    data = pathlib.Path(out) / "data" / f"run_id={summary['run_id']}"
+    per_bucket = [
+        len(list(b.glob("*.parquet"))) for b in sorted(data.glob("bucket=*"))
+    ]
+    assert per_bucket and all(n > 1 for n in per_bucket), per_bucket
+
+
 def test_lineage_metrics(spark, transcripts, tmp_path):
     """North rule: per-partition lineage with rows in/out + error counts
     + pages + credits (usage_records analog)."""
