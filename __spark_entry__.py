@@ -1107,7 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text,
-                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f'']+|[ \t\n\r\f]+'
                    )) AS n_bpe_tokens,
                    len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
             FROM documents

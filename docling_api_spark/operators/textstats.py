@@ -81,8 +81,13 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
 # Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed word /
-# number / punctuation runs, whitespace runs. No lookarounds, no \p classes.
-BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+# number / punctuation runs, whitespace runs. No lookarounds, no \p
+# classes — and no \s: Java's \s includes vertical tab \x0B while RE2's
+# does not, so whitespace is an explicit class identical in both engines.
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\r\f']+|[ \t\n\r\f]+"
+)
 
 
 def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
