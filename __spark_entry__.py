@@ -539,6 +539,40 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, queries, dim=64, k=3)
 
 
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality tracking (rows-only oracle): recall@3 of the LSH and
+    IVF paths against the exact brute-force baseline, one row per method.
+    Deterministic for the fixed corpus + fixed hyperplanes/centroids, so
+    a regression in either ANN path shows up as a changed recall value
+    round over round (pytest additionally enforces recall floors in
+    tests/test_python_oracles.py)."""
+    from docling_api_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=3).select("query_id", "cand_id")
+
+    def row(method: str, ann: DataFrame) -> DataFrame:
+        hits = exact.join(
+            ann.select("query_id", "cand_id"), ["query_id", "cand_id"]
+        ).agg(F.count(F.lit(1)).alias("hits"))
+        total = exact.agg(F.count(F.lit(1)).alias("total"))
+        return hits.crossJoin(total).select(
+            F.lit(method).alias("method"), "hits", "total",
+            F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
+        )
+
+    lsh = lsh_cosine_topk(emb, queries, dim=64, k=3)
+    ivf = ivf_cosine_topk(emb, queries, dim=64, k=3)
+    return row("ivf", ivf).unionByName(row("lsh", lsh)).orderBy("method")
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_api_spark.operators.textstats import with_token_stats
 
@@ -788,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_norms": sim_embedding_norms,
         "sim_lsh_topk": sim_lsh_topk,
         "sim_ivf_topk": sim_ivf_topk,
+        "sim_ann_recall": sim_ann_recall,
         "text_token_stats": text_token_stats,
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,

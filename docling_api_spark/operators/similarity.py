@@ -71,40 +71,57 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return rs.standard_normal((n_planes, dim)).astype(np.float64)
 
 
-def lsh_bucket_udf(dim: int, n_planes: int = 8):
-    """Vectorized bucketing: sign-pattern of v·Hᵀ as an int bucket id.
-    One numpy matmul per Arrow batch."""
+N_PLANES = 6   # sign bits per table -> 64 buckets/table
+N_TABLES = 8   # independent tables; candidate = same bucket in ANY table
 
-    @F.pandas_udf(T.IntegerType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        planes = _hyperplanes(dim, n_planes)  # cached per worker by module import? small, recompute ok
+
+def lsh_bucket_udf(dim: int, n_planes: int = N_PLANES,
+                   n_tables: int = N_TABLES):
+    """Vectorized multi-table bucketing: one array column of
+    ``n_tables`` bucket ids per vector (sign pattern of v·Hᵀ per table,
+    offset so buckets never collide across tables). Multi-table is the
+    standard random-hyperplane construction: a single table's recall at
+    cosine c is (1-θ/π)^planes — a few percent for moderate similarity —
+    while the union over T tables is 1-(1-p)^T. One numpy matmul per
+    Arrow batch over the whole plane pool."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        planes = _hyperplanes(dim, n_tables * n_planes)
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (mat @ planes.T) > 0
-        vals = signs @ (1 << np.arange(n_planes))
-        return pd.Series(vals.astype("int32"))
+        signs = (mat @ planes.T) > 0  # (N, T*P)
+        weights = 1 << np.arange(n_planes)
+        vals = signs.reshape(len(mat), n_tables, n_planes) @ weights  # (N, T)
+        vals = vals + (np.arange(n_tables) << n_planes)  # per-table id space
+        return pd.Series([row.astype("int32").tolist() for row in vals])
 
-    return bucket
+    return buckets
 
 
 def lsh_cosine_topk(df: DataFrame, queries: DataFrame, dim: int, k: int = 3,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_planes: int = 8) -> DataFrame:
-    """ANN variant: score only candidates sharing the query's LSH bucket.
-    Recall < 1 by construction; the scale path for 100 TB corpora (the
-    corpus-side bucket column would be precomputed and partition-pruned)."""
-    bucket = lsh_bucket_udf(dim, n_planes)
+                    n_planes: int = N_PLANES,
+                    n_tables: int = N_TABLES) -> DataFrame:
+    """ANN variant: score only candidates sharing a bucket with the query
+    in ANY of the LSH tables. Recall < 1 by construction; the scale path
+    for 100 TB corpora (the corpus-side bucket column would be
+    precomputed and partition-pruned; the explode costs n_tables rows per
+    vector — still O(N), never O(N·Q))."""
+    bucket = lsh_bucket_udf(dim, n_planes, n_tables)
     corpus_b = df.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cvec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(bucket(F.col(vec_col))).alias("bucket"),
     )
     q_b = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        F.explode(bucket(F.col(vec_col))).alias("bucket"),
     )
-    pairs = corpus_b.join(F.broadcast(q_b), "bucket").filter(
-        F.col("cand_id") != F.col("query_id")
+    pairs = (
+        corpus_b.join(F.broadcast(q_b), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "cand_id"])  # collide in >1 table
     )
     scored = pairs.select(
         "query_id",
@@ -127,12 +144,15 @@ def lsh_cosine_topk(df: DataFrame, queries: DataFrame, dim: int, k: int = 3,
 
 def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
                               id_col: str = "vec_id", vec_col: str = "embedding",
-                              n_planes: int = 8) -> DataFrame:
-    """Embedding-cosine near-dup detection: LSH-bucket self-join (pairs
-    only within buckets), exact cosine verify at ``threshold``."""
-    bucket = lsh_bucket_udf(dim, n_planes)
+                              n_planes: int = N_PLANES,
+                              n_tables: int = N_TABLES) -> DataFrame:
+    """Embedding-cosine near-dup detection: multi-table LSH self-join
+    (pairs only within buckets, deduped across tables), exact cosine
+    verify at ``threshold``."""
+    bucket = lsh_bucket_udf(dim, n_planes, n_tables)
     b = df.select(
-        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col), F.col(vec_col),
+        F.explode(bucket(F.col(vec_col))).alias("bucket"),
     )
     left = b.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -140,7 +160,11 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
     right = b.select(
         F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
-    pairs = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return pairs.select(
         "id_a",
         "id_b",

@@ -103,27 +103,34 @@ def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 _FP_SCHEMA = T.LongType()
 _FP_WINDOW = 8
-_FP_MOD = (1 << 61) - 1
 _FP_BASE = 257
 
 
 @F.pandas_udf(_FP_SCHEMA)
 def fingerprint64(texts: pd.Series) -> pd.Series:
     """Document fingerprint: min of rolling polynomial hashes over byte
-    windows (winnowing-style). Vectorized per Arrow batch; numpy inner
-    loop over window offsets, not over rows."""
+    windows (winnowing-style), computed in uint64 with well-defined
+    mod-2^64 wraparound (the previous mod-(2^61-1) variant silently
+    overflowed int64 before the reduction — deterministic but not the
+    polynomial it claimed to be). Min is taken in the unsigned domain,
+    then reinterpreted as a signed long for storage. Vectorized per Arrow
+    batch; numpy inner loop over the 8 window offsets, not over rows.
+    Independent pure-Python oracle: tests/test_python_oracles.py."""
     import numpy as np
 
+    base = np.uint64(_FP_BASE)
     out = []
-    for t in texts:
-        if not t:
-            out.append(0)
-            continue
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-        if len(b) < _FP_WINDOW:
-            b = np.pad(b, (0, _FP_WINDOW - len(b)))
-        h = np.zeros(len(b) - _FP_WINDOW + 1, dtype=np.int64)
-        for k in range(_FP_WINDOW):  # 8 iterations, each vectorized over all windows
-            h = (h * _FP_BASE + b[k: len(b) - _FP_WINDOW + 1 + k]) % _FP_MOD
-        out.append(int(h.min()))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the definition
+        for t in texts:
+            if not t:
+                out.append(0)
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(b) < _FP_WINDOW:
+                b = np.pad(b, (0, _FP_WINDOW - len(b)))
+            h = np.zeros(len(b) - _FP_WINDOW + 1, dtype=np.uint64)
+            for k in range(_FP_WINDOW):  # 8 iterations, vectorized over all windows
+                h = h * base + b[k: len(b) - _FP_WINDOW + 1 + k]
+            fp = int(h.min())
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
     return pd.Series(out, dtype="int64")
