@@ -255,6 +255,48 @@ def a7_keyword_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tier_usage_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing/rate-limit tier dimension (reference api/main.py:96-100
+    30/60/120/300 rpm; routes/usage.py:21-49 tiered per-document cents):
+    users map deterministically onto the four tiers, per-user-minute
+    request counts join the broadcast literal tiers table, and the rollup
+    reports requests, rate-limit violations against the tier's rpm, and
+    estimated cost in integer cents (money is cents per SURVEY §1.2)."""
+    ev = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("starter", 30, 15), ("professional", 60, 10),
+         ("business", 120, 8), ("enterprise", 300, None)],
+        "tier string, rpm_limit int, per_doc_cents int",
+    )
+    names = F.array(F.lit("starter"), F.lit("professional"),
+                    F.lit("business"), F.lit("enterprise"))
+    with_tier = ev.withColumn(
+        "tier",
+        F.element_at(names, (F.pmod(F.col("user_id"), F.lit(4)) + 1).cast("int")),
+    )
+    per_minute = (
+        with_tier.groupBy(
+            "tier", "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+        )
+        .agg(F.count(F.lit(1)).alias("n_in_minute"))
+    )
+    rolled = (
+        per_minute.join(F.broadcast(tiers), "tier")
+        .groupBy("tier", "rpm_limit", "per_doc_cents")
+        .agg(
+            F.sum("n_in_minute").alias("n_requests"),
+            F.count(F.lit(1)).alias("n_user_minutes"),
+            F.sum((F.col("n_in_minute") > F.col("rpm_limit")).cast("long"))
+            .alias("n_rate_violations"),
+        )
+    )
+    return rolled.select(
+        "tier", "rpm_limit", "n_requests", "n_user_minutes",
+        "n_rate_violations",
+        (F.col("n_requests") * F.col("per_doc_cents")).alias("est_cost_cents"),
+    ).orderBy("tier")
+
+
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8: unionByName + distinct (multi-source result merging,
     docling_client.py:360-373)."""
@@ -799,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_split_trim": p8_split_trim,
         "a6_latency_stats": a6_latency_stats,
         "a7_keyword_accuracy": a7_keyword_accuracy,
+        "tier_usage_pricing": tier_usage_pricing,
         "set_union_distinct": set_union_distinct,
         "rollup_status": rollup_status,
         "agg_percentiles": agg_percentiles,
@@ -926,6 +969,32 @@ def oracle_sql() -> dict[str, str]:
                                   AND contains(lower(text), 'query')
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_full_hits
             FROM documents
+        """,
+        "tier_usage_pricing": """
+            WITH tiers(tier, rpm_limit, per_doc_cents) AS (
+                VALUES ('starter', 30, 15), ('professional', 60, 10),
+                       ('business', 120, 8), ('enterprise', 300, NULL)
+            ), ev AS (
+                SELECT (['starter', 'professional', 'business', 'enterprise'])
+                           [CAST(user_id % 4 AS INTEGER) + 1] AS tier,
+                       user_id, date_trunc('minute', ts) AS minute
+                FROM events
+            ), per_minute AS (
+                SELECT tier, user_id, minute, count(*) AS n_in_minute
+                FROM ev GROUP BY tier, user_id, minute
+            )
+            SELECT p.tier,
+                   t.rpm_limit,
+                   CAST(sum(n_in_minute) AS BIGINT) AS n_requests,
+                   count(*) AS n_user_minutes,
+                   CAST(sum(CASE WHEN n_in_minute > t.rpm_limit
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rate_violations,
+                   CAST(sum(n_in_minute) * max(t.per_doc_cents) AS BIGINT)
+                       AS est_cost_cents
+            FROM per_minute p JOIN tiers t ON p.tier = t.tier
+            GROUP BY p.tier, t.rpm_limit
+            ORDER BY p.tier
         """,
         "set_union_distinct": """
             SELECT DISTINCT user_id FROM (

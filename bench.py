@@ -124,12 +124,12 @@ def main() -> None:
     queries: dict[str, float] = {}
     extras: dict = {}
 
-    # two timed passes, best kept: the VM shares a physical host and a single
-    # pass can be depressed ~1.5x by co-tenant load (both passes recorded)
-    ext_a = run_extraction_bench(spark, staged)
-    ext_b = run_extraction_bench(spark, staged)
-    ext = max((ext_a, ext_b), key=lambda d: d["turns_per_sec"])
-    ext["trials_turns_per_sec"] = [ext_a["turns_per_sec"], ext_b["turns_per_sec"]]
+    # three timed passes, best kept (all recorded): the VM shares a
+    # physical host and a single pass can be depressed ~1.5x by co-tenant
+    # load — same pooled-trial methodology the scaling bench uses
+    trials = [run_extraction_bench(spark, staged) for _ in range(3)]
+    ext = max(trials, key=lambda d: d["turns_per_sec"])
+    ext["trials_turns_per_sec"] = [t["turns_per_sec"] for t in trials]
     queries["extract_transcripts"] = ext["sec"]
     extras["extract"] = ext
 
@@ -139,6 +139,8 @@ def main() -> None:
         q = entrymod.queries()
         for name in [
             "extract_documents",
+            "extract_doc_json",
+            "tier_usage_pricing",
             "q1_pricing_summary",
             "j4_parity_join",
             "a4_usage_rollup",
