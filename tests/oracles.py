@@ -125,6 +125,18 @@ def spark_xxhash64(*values, seed: int = SPARK_SEED) -> int:
     return _signed(h)
 
 
+def spark_xxhash64_long_int(value: int, salt: int,
+                            seed: int = SPARK_SEED) -> int:
+    """xxhash64(<LongType col>, <int literal>) with Spark's type-driven
+    fast paths — the minhash 'hash the shingle once, salt the long' form.
+    (Type-faithful: a LongType child always takes the 8-byte path even
+    when its value is small, so spark_xxhash64's magnitude dispatch would
+    be wrong here.)"""
+    h = _xxh64_long(value, seed)
+    h = _xxh64_int(salt, h)
+    return _signed(h)
+
+
 def spark_xxhash64_longs(values, seed: int = SPARK_SEED) -> int:
     """xxhash64 over LongType children regardless of magnitude (the
     minhash band-bucket case: array elements are LongType)."""

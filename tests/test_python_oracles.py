@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from tests.oracles import (
     java_ws_split,
     spark_xxhash64,
+    spark_xxhash64_long_int,
     spark_xxhash64_longs,
     word_shingles,
 )
@@ -126,7 +127,8 @@ def test_minhash_lsh_matches_python_oracle(spark):
         for sh in shs:
             v = sh_cache.get(sh)
             if v is None:
-                v = sh_cache[sh] = [spark_xxhash64(sh, i)
+                hb = spark_xxhash64(sh)  # shingle hashed once (operator shape)
+                v = sh_cache[sh] = [spark_xxhash64_long_int(hb, i)
                                     for i in range(MINHASH_HASHES)]
             per_salt.append(v)
         sig[rid] = [min(v[i] for v in per_salt) for i in range(MINHASH_HASHES)]
