@@ -11,7 +11,7 @@ Two streaming behaviors exist in the reference's world (SURVEY.md §2.10):
   an over-limit flag.
 
 Both operate on the same transcripts/events schemas as the batch path;
-``mapInPandas`` extraction works unchanged on a streaming DataFrame.
+``mapInArrow`` extraction works unchanged on a streaming DataFrame.
 """
 
 from __future__ import annotations
