@@ -682,8 +682,9 @@ def extract_doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 doc_json export with P2 gating (output_format='json', reference
     modal_docling.py:251-255): the markdown column is NULL, the doc-tree
     JSON column is populated; summary stats projected via get_json_object.
-    Rows-only oracle — the tree bytes are frozen by golden fixtures in
-    pytest (tests/test_oracle_fixtures.py)."""
+    DuckDB-verified: the plain-path doc tree is reconstructed verbatim in
+    SQL (the driver corpus needs no JSON escaping); the html/pdfish tree
+    bytes are frozen by golden fixtures in pytest."""
     from docling_api_spark.extraction.kernel import ExtractOptions
     from docling_api_spark.operators.extract import extract_text_column
 
@@ -715,8 +716,10 @@ def extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload column -> mapInPandas metadata
-    extraction (decode step is a deterministic fake; real codecs stubbed)."""
+    """Multimodal plumbing: binary payload column -> mapInArrow metadata
+    extraction (decode step is a deterministic fake; real codecs stubbed).
+    DuckDB-verified: the FIMG header/body arithmetic is restated in SQL
+    (mean_byte uses integer floor-at-4-decimals — bit-identical doubles)."""
     from docling_api_spark.operators.multimodal import (
         FAKE_IMAGE_MAGIC,
         with_image_metadata,
@@ -744,7 +747,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize plumbing: FIMG payload -> downscaled FIMG ->
-    re-extract metadata (two composed binary-column stages; codec stubbed)."""
+    re-extract metadata (two composed binary-column stages; codec
+    stubbed). DuckDB-verified via the subsample-size arithmetic."""
     import struct
 
     from docling_api_spark.operators.multimodal import (
@@ -776,7 +780,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plumbing: FVID container (4 frames x 16
-    bytes built from the doc text) -> every-2nd-frame metadata, exploded."""
+    bytes built from the doc text) -> every-2nd-frame metadata, exploded.
+    DuckDB-verified (per-frame byte means are exact 4-dp doubles)."""
     import struct
 
     from docling_api_spark.operators.multimodal import (
@@ -804,7 +809,9 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio-feature plumbing: FAUD payload (32 i16 samples from
-    the doc text bytes) -> sample_rate / n_samples / duration / RMS."""
+    the doc text bytes) -> sample_rate / n_samples / duration / RMS.
+    DuckDB-verified (little-endian i16 decode restated in SQL; RMS
+    floored at 4 decimals for bit-identical doubles)."""
     import struct
 
     from docling_api_spark.operators.multimodal import (
@@ -1288,6 +1295,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ps) AS INTEGER) AS n_nodes
             FROM paras
         """,
+        # The driver documents corpus is strictly lowercase letters +
+        # single spaces (no escaping, no multi-byte), so the plain-path
+        # doc_json and the FIMG/FVID/FAUD fake-codec arithmetic are
+        # exactly SQL-expressible; floor-at-4-decimals integer forms make
+        # the float values bit-identical across engines.
+        "extract_doc_json": """
+            SELECT doc_id, 'success' AS status, 'plain' AS payload_kind,
+                   length('{"body":[{"id":0,"kind":"para","prov":[0,'
+                          || length(text)
+                          || '],"text":"' || text
+                          || '"}],"kind":"plain","n_nodes":1,"pages":1,"schema_name":"docling-spark","version":1}')
+                       AS doc_json_len,
+                   1 AS pages_from_json,
+                   'docling-spark' AS schema_name,
+                   TRUE AS markdown_gated_off
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id, 64 AS width, 32 AS height,
+                   CAST(12 + length(text) AS BIGINT) AS n_bytes,
+                   CAST(list_sum(list_transform(
+                            range(1, length(text) + 1), i -> ord(text[i])
+                        )) * 10000 // length(text) AS DOUBLE) / 10000.0
+                       AS mean_byte
+            FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id, 32 AS width, 16 AS height,
+                   CAST(12 + (length(text) + 1) // 2 AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "multimodal_frames": """
+            WITH p AS (
+                SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS b
+                FROM documents
+            )
+            SELECT doc_id, f AS frame_idx, 16 AS frame_bytes,
+                   round(list_avg(list_transform(
+                       range(1, 17), i -> ord(b[16 * f + i])
+                   )), 4) AS mean_byte
+            FROM p, (VALUES (0), (2)) t(f)
+            ORDER BY doc_id, frame_idx
+        """,
+        "multimodal_audio": """
+            WITH p AS (
+                SELECT doc_id, rpad(substr(text, 1, 64), 64, ' ') AS b
+                FROM documents
+            ), v AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, 32),
+                           k -> ord(b[2 * k + 1]) + 256 * ord(b[2 * k + 2])
+                       ) AS pcm
+                FROM p
+            )
+            SELECT doc_id, 16000 AS sample_rate, CAST(32 AS BIGINT) AS n_samples,
+                   round(CAST(32 AS DOUBLE) / 16000, 6) AS duration_s,
+                   floor(sqrt(list_avg(list_transform(
+                       pcm, x -> CAST(x AS DOUBLE) * x
+                   ))) * 10000) / 10000.0 AS rms
+            FROM v ORDER BY doc_id
+        """,
         # rows-only entries and why (every one is independently verified
         # outside the driver):
         # - dedup_minhash_lsh, dedup_simhash, text_fingerprint: engine-side
@@ -1301,9 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         #   re-verified in numpy) + deterministic recall floors vs the
         #   DuckDB-verified exact baselines (sim_cosine_topk,
         #   dedup_embedding_cosine).
-        # - extract_doc_json, extract_transcripts: kernel doc-tree /
-        #   multi-format extraction — byte-frozen by committed golden
-        #   fixtures (tests/test_oracle_fixtures.py, test_spark_extract.py).
-        # - multimodal_*: binary-payload plumbing with stubbed codecs —
-        #   deterministic-fake decode verified in tests/test_multimodal.py.
+        # - extract_transcripts: multi-format (html/pdfish/markdown/b64)
+        #   kernel extraction — byte-frozen by committed golden fixtures
+        #   (tests/test_oracle_fixtures.py, test_spark_extract.py).
     }

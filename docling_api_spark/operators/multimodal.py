@@ -151,9 +151,14 @@ def with_image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
                     "format": None, "mean_byte": None}
         w, h = struct.unpack("<II", bytes(raw[4:12]))
         body = np.frombuffer(bytes(raw[12:]), dtype=np.uint8)
+        # 4-decimal truncation via INTEGER arithmetic (sum*10^4 // n), not
+        # float round: round-half ties land differently across engines,
+        # while this value is one exact int division + one double divide —
+        # bit-identical in Spark and the DuckDB oracle
+        mb = ((int(body.sum()) * 10000 // len(body)) / 10000.0
+              if len(body) else None)
         return {"width": int(w), "height": int(h), "n_bytes": len(raw),
-                "format": "fimg",
-                "mean_byte": round(float(body.mean()), 4) if len(body) else None}
+                "format": "fimg", "mean_byte": mb}
 
     return _map_binary_column(
         df, bin_col, T.StructField("image_meta", IMAGE_META_SCHEMA, True),
@@ -239,15 +244,21 @@ def with_audio_features(df: DataFrame, bin_col: str = "audio") -> DataFrame:
     import numpy as np
 
     def features(raw):
+        import math
+
         if raw is None or len(raw) < 8 or bytes(raw[:4]) != FAKE_AUDIO_MAGIC:
             return None
         (rate,) = struct.unpack("<I", bytes(raw[4:8]))
         pcm = np.frombuffer(bytes(raw[8:]), dtype=np.int16)
         n = len(pcm)
         rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if n else None
+        # floor (not round) at 4 decimals: floor of a double is the same
+        # IEEE operation in every engine, so the DuckDB oracle reproduces
+        # the value exactly; round-half boundaries do not
         return {"sample_rate": int(rate), "n_samples": n,
                 "duration_s": round(n / rate, 6) if rate else None,
-                "rms": round(rms, 4) if rms is not None else None}
+                "rms": (math.floor(rms * 10000) / 10000.0
+                        if rms is not None else None)}
 
     return _map_binary_column(
         df, bin_col, T.StructField("audio_meta", AUDIO_META_SCHEMA, True),
