@@ -653,6 +653,54 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: duplicate 2-/3-gram
+    fractions per document (pure higher-order array expressions)."""
+    from docling_api_spark.operators.textstats import with_repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(d).select(
+        "doc_id", "dup_2gram_frac", "dup_3gram_frac"
+    )
+
+
+def pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for corpus prep: digit masking, sha-256
+    pseudonymization (reference db_models.py:31-33 key-hash pattern),
+    numeric generalization to coarse buckets."""
+    from docling_api_spark.operators.textstats import with_pii_mask
+
+    c = _t(spark, sf_dir, "customer")
+    return with_pii_mask(c).select(
+        "c_custkey", "name_hash", "masked_name", "balance_bucket"
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training mixes: per-source
+    keep rates (basis points) applied via content-hash bucketing — the
+    same row is kept by every engine at every cluster size (no rand()).
+    Broadcast rates join + codegen filter; output is the per-stratum
+    audit rollup."""
+    from docling_api_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(f"src{i}", (i % 4 + 1) * 2500) for i in range(20)],
+        "source string, rate_bp int",
+    )
+    kept = stratified_sample(d, rates, "source", "doc_id")
+    return (
+        kept.groupBy("source", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (vectorized pandas UDF;
     rows-only oracle)."""
@@ -881,6 +929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,
         "text_langid": text_langid,
+        "text_repetition": text_repetition,
+        "pii_mask": pii_mask,
+        "sample_stratified": sample_stratified,
         "text_fingerprint": text_fingerprint,
         "extract_documents": extract_documents,
         "extract_doc_json": extract_doc_json,
@@ -1294,6 +1345,59 @@ def oracle_sql() -> dict[str, str]:
                    1 AS pages,
                    CAST(len(ps) AS INTEGER) AS n_nodes
             FROM paras
+        """,
+        "text_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(0, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i+1], toks[i+2]))
+                       ELSE [array_to_string(toks, ' ')] END AS g2,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(0, len(toks) - 2),
+                               i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))
+                       ELSE [array_to_string(toks, ' ')] END AS g3
+                FROM t
+            )
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(g2))::DOUBLE
+                             / greatest(len(g2), 1), 6) AS dup_2gram_frac,
+                   round(1.0 - len(list_distinct(g3))::DOUBLE
+                             / greatest(len(g3), 1), 6) AS dup_3gram_frac
+            FROM g
+        """,
+        "pii_mask": """
+            SELECT c_custkey,
+                   sha256(c_name) AS name_hash,
+                   concat(
+                       regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                                      '[0-9]', '*', 'g'),
+                       substr(c_name, length(c_name) - 3, 4)
+                   ) AS masked_name,
+                   CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE)
+                       AS balance_bucket
+            FROM customer
+        """,
+        "sample_stratified": """
+            WITH rates(source, rate_bp) AS (VALUES
+                ('src0', 2500), ('src1', 5000), ('src2', 7500), ('src3', 10000),
+                ('src4', 2500), ('src5', 5000), ('src6', 7500), ('src7', 10000),
+                ('src8', 2500), ('src9', 5000), ('src10', 7500), ('src11', 10000),
+                ('src12', 2500), ('src13', 5000), ('src14', 7500), ('src15', 10000),
+                ('src16', 2500), ('src17', 5000), ('src18', 7500), ('src19', 10000)
+            ), kept AS (
+                SELECT d.doc_id, d.source, r.rate_bp
+                FROM documents d JOIN rates r ON d.source = r.source
+                WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                           AS INTEGER) % 10000 < r.rate_bp
+            )
+            SELECT source, rate_bp, count(*) AS n_kept,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM kept GROUP BY source, rate_bp ORDER BY source
         """,
         # The driver documents corpus is strictly lowercase letters +
         # single spaces (no escaping, no multi-byte), so the plain-path

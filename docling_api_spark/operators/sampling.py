@@ -1,0 +1,47 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`rand()`/TABLESAMPLE are nondeterministic across runs and engines, which
+breaks both reproducible training mixes and the cross-engine oracle
+(SURVEY §4.3: no runtime randomness). Sampling here is content-hash
+based: a row's md5-derived bucket in [0, 10000) decides membership, so
+the same row is kept by every engine, every run, at every cluster size —
+and changing the sampling rate grows/shrinks the kept set monotonically
+(a row kept at 20% is still kept at 30%).
+
+Scale: a pure codegen projection + filter, no shuffle, no state; the
+stratified variant adds one broadcast join against the (tiny) rates
+table. The md5 prefix (16 bits) is plenty of resolution for basis-point
+rates; the %10000 fold's bias is < 0.7% relative and identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key_col, salt: str = ""):
+    """Uniform-ish bucket in [0, 10000) from md5(key || salt): the first
+    4 hex digits parsed as an int (conv is engine-portable — DuckDB
+    mirrors it with a '0x' cast), folded modulo 10000."""
+    key = F.concat(key_col.cast("string"), F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 10000
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, rate_bp: int,
+                salt: str = "") -> DataFrame:
+    """Keep ~rate_bp/10000 of rows, deterministically by key hash."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < F.lit(rate_bp))
+
+
+def stratified_sample(df: DataFrame, rates: DataFrame, strata_col: str,
+                      key_col: str, rate_col: str = "rate_bp") -> DataFrame:
+    """Per-stratum hash sampling: join the broadcast ``rates`` table
+    (strata_col -> rate_bp) and keep rows whose bucket falls under their
+    stratum's rate — the 'training-mix weights' primitive (e.g. keep 25%
+    of web, 100% of books)."""
+    joined = df.join(F.broadcast(rates), strata_col)
+    return joined.filter(hash_bucket(F.col(key_col)) < F.col(rate_col))

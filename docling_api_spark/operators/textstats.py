@@ -101,6 +101,49 @@ def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features: the fraction of duplicate word
+    2-grams / 3-grams inside each document (high values flag boilerplate
+    and degenerate generations — a standard pre-training quality filter).
+    Pure higher-order array expressions: no explode, no shuffle, one
+    codegen projection per row."""
+    from docling_api_spark.operators.dedup import shingles
+
+    def dup_frac(n: int):
+        g = shingles(F.col(text_col), n)
+        return F.round(
+            (F.lit(1.0)
+             - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1))
+             ).cast("double"),
+            6,
+        )
+
+    return (
+        df.withColumn("dup_2gram_frac", dup_frac(2))
+        .withColumn("dup_3gram_frac", dup_frac(3))
+    )
+
+
+def with_pii_mask(df: DataFrame, name_col: str = "c_name",
+                  numeric_col: str = "c_acctbal") -> DataFrame:
+    """PII scrubbing primitives for corpus preparation: digit masking
+    (all but the last 4), sha-256 pseudonymization (reference key-hash
+    pattern, db_models.py:31-33), and numeric generalization to coarse
+    buckets (k-anonymity style). All codegen'd string/number expressions."""
+    n = F.length(name_col)
+    return df.select(
+        *df.columns,
+        F.sha2(F.col(name_col), 256).alias("name_hash"),
+        F.concat(
+            F.regexp_replace(F.col(name_col).substr(F.lit(1), n - 4),
+                             "[0-9]", "*"),
+            F.col(name_col).substr(n - 3, F.lit(4)),
+        ).alias("masked_name"),
+        (F.floor(F.col(numeric_col) / 1000) * 1000).cast("double")
+        .alias("balance_bucket"),
+    )
+
+
 _FP_SCHEMA = T.LongType()
 _FP_WINDOW = 8
 _FP_BASE = 257
