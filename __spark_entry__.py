@@ -763,6 +763,31 @@ def extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition, the production shape: mapInArrow extraction
+    feeding downstream corpus analytics — per-source doc counts, distinct
+    content (exact-dedup distinct aggregate over the EXTRACTED text),
+    and mean quality score. DuckDB-checkable because the driver corpus
+    takes the kernel's plain path."""
+    from docling_api_spark.operators.extract import extract_text_column
+    from docling_api_spark.operators.textstats import with_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    ext = extract_text_column(d, keep_cols=["doc_id", "source"])
+    q = with_quality_score(ext.filter(F.col("status") == "success"),
+                           text_col="extracted_text")
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.sha2("extracted_text", 256)).alias("n_unique"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum("pages").alias("total_pages"),
+        )
+        .orderBy("source")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> mapInArrow metadata
     extraction (decode step is a deterministic fake; real codecs stubbed).
@@ -936,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_documents": extract_documents,
         "extract_doc_json": extract_doc_json,
         "extract_transcripts": extract_transcripts,
+        "pipeline_extract_quality": pipeline_extract_quality,
         "multimodal_features": multimodal_features,
         "multimodal_resize": multimodal_resize,
         "multimodal_frames": multimodal_frames,
@@ -1398,6 +1424,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, rate_bp, count(*) AS n_kept,
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM kept GROUP BY source, rate_bp ORDER BY source
+        """,
+        "pipeline_extract_quality": """
+            WITH q AS (
+                SELECT source, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), sc AS (
+                SELECT source, text,
+                       round(
+                           least(length(text) / 500.0, 1.0) * 0.5
+                           + least(
+                               len(list_filter(toks, x -> list_contains(
+                                   ['the','a','of','and','to','in','is','it','that','for'],
+                                   lower(x))))::DOUBLE
+                               / greatest(len(toks), 1) * 5.0, 1.0) * 0.5,
+                           4
+                       ) AS quality_score
+                FROM q
+            )
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT sha256(text)) AS n_unique,
+                   round(avg(quality_score), 4) AS avg_quality,
+                   CAST(count(*) AS BIGINT) AS total_pages
+            FROM sc GROUP BY source ORDER BY source
         """,
         # The driver documents corpus is strictly lowercase letters +
         # single spaces (no escaping, no multi-byte), so the plain-path
