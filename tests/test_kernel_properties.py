@@ -31,6 +31,10 @@ payloads = st.one_of(
 @settings(max_examples=400, deadline=None)
 @given(payloads)
 def test_extract_one_total_and_deterministic(text):
+    import json
+
+    from docling_api_spark.extraction.kernel import ExtractOptions
+
     r1 = extract_one(text)
     r2 = extract_one(text)
     assert r1 == r2  # pure function of the input
@@ -44,6 +48,21 @@ def test_extract_one_total_and_deterministic(text):
     if r1["payload_kind"] in ("html", "markdown", "plain") and text:
         for s in r1["spans"]:
             assert 0 <= s[0] <= s[1] <= len(text)
+    # doc_json: parses, stable, and prov mirrors the emitted spans
+    rj = extract_one(text, ExtractOptions("both"))
+    assert rj["extracted_text"] == r1["extracted_text"]
+    if rj["status"] == "success":
+        doc = json.loads(rj["doc_json"])
+        assert doc["pages"] == rj["pages"]
+        assert doc["n_nodes"] == rj["n_nodes"]
+        span_provs = [[s[0], s[1]] for s in rj["spans"]]
+        item_provs = [it["prov"] for it in doc["body"]]
+        if rj["payload_kind"] in ("html", "markdown", "plain"):
+            assert item_provs == [
+                [max(p[0], 0), max(p[1], 0)] for p in span_provs
+            ]
+    else:
+        assert rj["doc_json"] is None
 
 
 @settings(max_examples=50, deadline=None)
