@@ -462,9 +462,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-Jaccard verified
-    (shingle -> minhash -> band -> bucket join; xxhash64-based, rows-only
-    oracle)."""
+    """MinHash+LSH near-dup pipeline: exact-dup prefilter (star edges at
+    jaccard 1.0), shingle -> minhash -> band -> bucket join over the
+    representatives, exact-Jaccard verify. xxhash64-based, so rows-only
+    for the driver — but the FULL pipeline has an exact pure-Python
+    pytest oracle (tests/test_python_oracles.py)."""
     from docling_api_spark.operators.dedup import minhash_near_duplicates
 
     d = _t(spark, sf_dir, "documents")
@@ -472,7 +474,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only oracle: engine hash differs)."""
+    """64-bit SimHash per document (rows-only for the driver: DuckDB has
+    no xxhash64 — every value is recomputed exactly by the pure-Python
+    pytest oracle in tests/test_python_oracles.py)."""
     from docling_api_spark.operators.dedup import simhash64
 
     d = _t(spark, sf_dir, "documents")
@@ -514,8 +518,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, scale path: LSH-bucket self-join then
-    exact-cosine verify (rows-only oracle — bucket ids are engine-side)."""
+    """Embedding-cosine near-dup, scale path: multi-table LSH self-join
+    then exact-cosine verify (rows-only for the driver — pytest enforces
+    strict soundness vs numpy plus a deterministic recall floor against
+    the DuckDB-verified exact-pair baseline)."""
     from docling_api_spark.operators.similarity import embedding_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -557,7 +563,10 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant: LSH-bucketed cosine top-k (rows-only oracle)."""
+    """ANN variant: multi-table LSH cosine top-k (rows-only for the
+    driver: recall < 1 by construction; pytest re-verifies every emitted
+    cosine in numpy and enforces a recall floor vs the DuckDB-verified
+    exact baseline)."""
     from docling_api_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -703,7 +712,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprint (vectorized pandas UDF;
-    rows-only oracle)."""
+    rows-only for the driver — values recomputed exactly by the
+    pure-Python pytest oracle in tests/test_python_oracles.py)."""
     from docling_api_spark.operators.textstats import fingerprint64
 
     d = _t(spark, sf_dir, "documents")
