@@ -1409,11 +1409,12 @@ def oracle_sql() -> dict[str, str]:
         "pii_mask": """
             SELECT c_custkey,
                    sha256(c_name) AS name_hash,
-                   concat(
-                       regexp_replace(substr(c_name, 1, length(c_name) - 4),
-                                      '[0-9]', '*', 'g'),
-                       substr(c_name, length(c_name) - 3, 4)
-                   ) AS masked_name,
+                   CASE WHEN length(c_name) > 4 THEN concat(
+                            regexp_replace(substr(c_name, 1, length(c_name) - 4),
+                                           '[0-9]', '*', 'g'),
+                            substr(c_name, length(c_name) - 3, 4))
+                        ELSE regexp_replace(c_name, '[0-9]', '*', 'g')
+                   END AS masked_name,
                    CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE)
                        AS balance_bucket
             FROM customer
@@ -1428,7 +1429,7 @@ def oracle_sql() -> dict[str, str]:
             ), kept AS (
                 SELECT d.doc_id, d.source, r.rate_bp
                 FROM documents d JOIN rates r ON d.source = r.source
-                WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))
                            AS INTEGER) % 10000 < r.rate_bp
             )
             SELECT source, rate_bp, count(*) AS n_kept,

@@ -406,6 +406,12 @@ def _parse_html(text: str):
             continue
         # closing tag
         inert_name = "\0" + name
+        if skip_depth and not (name in _SKIP_TAGS or inert_name in stack):
+            # inside <script>/<style>: a close tag that matches neither a
+            # skip tag nor an in-region (inert) open is just script TEXT
+            # (e.g. '</i>' inside a JS string) — it must never pop through
+            # the skip boundary and leak the script body into the output
+            continue
         if stack and (name in stack or inert_name in stack):
             # pop to the matching open (tolerates interleaving)
             while stack:

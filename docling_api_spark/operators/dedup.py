@@ -12,10 +12,11 @@ generated only within buckets. Verification re-joins the two small
 candidate sides back to the docs, broadcast when the candidate set is
 small. Skew/no-silent-caps policy: byte-identical copies (the dominant
 crawl-data case — boilerplate pages) are collapsed by exact content hash
-BEFORE minhashing, and an oversized LSH bucket emits STAR candidate
-pairs (min-id hub -> members, O(M) rows) instead of O(M²) all-pairs —
-nothing is ever dropped; duplicate-cluster connected components are
-fully preserved at linear cost.
+BEFORE minhashing, and an oversized LSH bucket emits CHAIN candidate
+pairs over its sorted ids (O(M) rows) instead of O(M²) all-pairs —
+no bucket is ever dropped, and candidate-level connectivity is complete
+at linear cost (verified connectivity then depends on each chain link
+passing the exact-Jaccard check, which a true near-dup cluster does).
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ MINHASH_HASHES = 16
 LSH_BANDS = 4  # 4 rows per band
 SHINGLE_WORDS = 5
 # skew guard: buckets bigger than this switch from all-pairs (O(M²)) to
-# star expansion (O(M), same connected components) — never dropped
+# chain expansion over sorted ids (O(M)) — never dropped
 MAX_BUCKET = 64
 
 
@@ -93,10 +94,13 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     """Band the signatures, bucket-join within bands, emit candidate pairs
     (a < b). O(docs·bands) shuffle rows; pair expansion only inside
     buckets. Buckets up to ``max_bucket`` expand all-pairs; larger
-    (degenerate/skewed) buckets expand as a STAR around the min id —
-    linear in bucket size, and since near-dup similarity is transitive
-    enough for clustering, the star edges keep every member reachable
-    from the hub (no silent bucket drops)."""
+    (degenerate/skewed) buckets expand as a CHAIN over the sorted ids —
+    linear in bucket size, never dropped. A chain (not a hub star)
+    survives verification robustly: a false-positive member only breaks
+    its own two links, while a false-positive star hub would sever the
+    whole bucket. Full verified connectivity still holds only for
+    members whose chain neighbors are true near-duplicates (all-pairs
+    would cost O(M²)); candidate-level connectivity is always complete."""
     rows_per_band = n_hashes // bands
     banded = sig.select(
         F.col(id_col),
@@ -137,11 +141,16 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
             )
         ).alias("p")
     ).select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-    star_pairs = big.select(
-        F.element_at(sorted_ids, 1).alias("id_a"),
-        F.explode(F.slice(sorted_ids, 2, F.size(sorted_ids) - 1)).alias("id_b"),
-    )
-    return all_pairs.unionByName(star_pairs).distinct()
+    chain_pairs = big.select(
+        F.explode(
+            F.zip_with(
+                F.slice(sorted_ids, 1, F.size(sorted_ids) - 1),
+                F.slice(sorted_ids, 2, F.size(sorted_ids) - 1),
+                lambda a, b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return all_pairs.unionByName(chain_pairs).distinct()
 
 
 def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
@@ -179,12 +188,13 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
        flooding an LSH bucket.
     2. MinHash -> bands -> candidate pairs -> exact-Jaccard verification
        runs over the distinct REPRESENTATIVES only; oversized buckets
-       star-expand (see lsh_candidate_pairs) — no silent drops.
+       chain-expand (see lsh_candidate_pairs) — no silent drops.
 
-    Output edges (exact stars + verified near-dup representative pairs)
-    carry the full duplicate-cluster connected components: every copy is
-    reachable from its keeper, every near-dup representative pair links
-    the clusters, at O(docs + pairs) rows rather than O(cluster²).
+    Output edges (exact-group stars + verified near-dup representative
+    pairs) carry the duplicate-cluster structure at O(docs + pairs) rows
+    rather than O(cluster²): every byte-identical copy is reachable from
+    its keeper, and near-identical members connect through their
+    verified chain/pair links.
     """
     hashed = df.select(
         F.col(id_col), F.col(text_col),

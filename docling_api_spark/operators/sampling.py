@@ -10,9 +10,9 @@ and changing the sampling rate grows/shrinks the kept set monotonically
 
 Scale: a pure codegen projection + filter, no shuffle, no state; the
 stratified variant adds one broadcast join against the (tiny) rates
-table. The md5 prefix (16 bits) is plenty of resolution for basis-point
-rates; the %10000 fold's bias is < 0.7% relative and identical across
-engines.
+table. The md5 prefix is 28 bits (7 hex digits), so the %10000 fold's
+bias is < 0.004% relative (268435456 % 10000 = 5456 → one extra source
+value on 5456 of the 10000 buckets) and identical across engines.
 """
 
 from __future__ import annotations
@@ -22,12 +22,12 @@ from pyspark.sql import functions as F
 
 
 def hash_bucket(key_col, salt: str = ""):
-    """Uniform-ish bucket in [0, 10000) from md5(key || salt): the first
-    4 hex digits parsed as an int (conv is engine-portable — DuckDB
-    mirrors it with a '0x' cast), folded modulo 10000."""
+    """Uniform bucket in [0, 10000) from md5(key || salt): the first
+    7 hex digits (28 bits) parsed as an int (conv is engine-portable —
+    DuckDB mirrors it with a '0x' cast), folded modulo 10000."""
     key = F.concat(key_col.cast("string"), F.lit(salt))
     return (
-        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 10000
+        F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("int") % 10000
     )
 
 

@@ -131,14 +131,20 @@ def with_pii_mask(df: DataFrame, name_col: str = "c_name",
     pattern, db_models.py:31-33), and numeric generalization to coarse
     buckets (k-anonymity style). All codegen'd string/number expressions."""
     n = F.length(name_col)
-    return df.select(
-        *df.columns,
-        F.sha2(F.col(name_col), 256).alias("name_hash"),
+    # names of <= 4 chars mask fully — the keep-last-4 form would return
+    # garbage (negative substr lengths differ per engine)
+    masked = F.when(
+        n > 4,
         F.concat(
             F.regexp_replace(F.col(name_col).substr(F.lit(1), n - 4),
                              "[0-9]", "*"),
             F.col(name_col).substr(n - 3, F.lit(4)),
-        ).alias("masked_name"),
+        ),
+    ).otherwise(F.regexp_replace(F.col(name_col), "[0-9]", "*"))
+    return df.select(
+        *df.columns,
+        F.sha2(F.col(name_col), 256).alias("name_hash"),
+        masked.alias("masked_name"),
         (F.floor(F.col(numeric_col) / 1000) * 1000).cast("double")
         .alias("balance_bucket"),
     )

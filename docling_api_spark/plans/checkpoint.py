@@ -34,11 +34,13 @@ class Manifest:
     def _read(self) -> dict:
         if not self.path.exists():
             return {"runs": [], "buckets": [], "run_counter": 0,
-                    "inflight": []}
+                    "inflight": {}}
         state = json.loads(self.path.read_text())
         # back-compat: older manifests counted runs by list length
         state.setdefault("run_counter", len(state["runs"]))
-        state.setdefault("inflight", [])
+        inflight = state.setdefault("inflight", {})
+        if isinstance(inflight, list):  # pre-timestamp lease format
+            state["inflight"] = {r: 0.0 for r in inflight}
         return state
 
     def _write(self, state: dict) -> None:
@@ -59,25 +61,37 @@ class Manifest:
         the re-committed (run_id, bucket) partitions). The id is also
         recorded as in-flight: vacuum() will not delete a fresh
         uncommitted dir out from under a live run."""
+        import time
+
         state = self._read()
         run_id = f"run-{state['run_counter']:04d}"
         state["run_counter"] += 1
-        state["inflight"].append(run_id)
+        # lease value = reservation time (ops-plane staleness signal for
+        # vacuum; nothing in the data plane reads it)
+        state["inflight"][run_id] = time.time()
         self._write(state)
         return run_id
 
     def _settle(self, state: dict, run_id: str) -> None:
-        state["inflight"] = [r for r in state["inflight"] if r != run_id]
+        state["inflight"].pop(run_id, None)
 
-    def commit(self, run_id: str, snapshot_id: str, buckets: list[int]) -> None:
+    def commit(self, run_id: str, snapshot_id: str, buckets: list[int],
+               data_schema_json: str | None = None) -> None:
         state = self._read()
         new = [b for b in buckets if b not in set(state["buckets"])]
         state["runs"].append(
             {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": new}
         )
         state["buckets"] = sorted(set(state["buckets"]) | set(new))
+        if data_schema_json:
+            # recorded so committed_view can read a data dir that holds no
+            # parquet files yet (zero-row runs) without schema inference
+            state["data_schema"] = data_schema_json
         self._settle(state, run_id)
         self._write(state)
+
+    def data_schema_json(self) -> str | None:
+        return self._read().get("data_schema")
 
     def replace_runs(self, run_id: str, snapshot_id: str) -> None:
         """Compaction commit: the single ``run_id`` now carries EVERY
@@ -95,6 +109,22 @@ class Manifest:
     def inflight(self) -> set[str]:
         return set(self._read()["inflight"])
 
+    def inflight_leases(self) -> dict[str, float]:
+        return dict(self._read()["inflight"])
+
+    def prune_inflight(self, run_ids) -> None:
+        """Drop settled/reclaimed leases (called by vacuum after it
+        removes an aged-out crashed run's dir, and for aged dir-less
+        leases) so the manifest cannot grow without bound across
+        crash/resume cycles."""
+        ids = set(run_ids)
+        if not ids:
+            return
+        state = self._read()
+        state["inflight"] = {k: v for k, v in state["inflight"].items()
+                             if k not in ids}
+        self._write(state)
+
     def runs(self) -> list[dict]:
         return self._read()["runs"]
 
@@ -108,9 +138,18 @@ def committed_view(spark, output_dir: str):
 
     from pyspark.sql import functions as F
 
+    import json as _json
+
+    from pyspark.sql import types as T
+
     m = Manifest(output_dir)
     runs = [r for r in m.runs() if r["buckets"]]
-    df = spark.read.parquet(f"{output_dir}/data")
+    schema_json = m.data_schema_json()
+    if schema_json:
+        schema = T.StructType.fromJson(_json.loads(schema_json))
+        df = spark.read.schema(schema).parquet(f"{output_dir}/data")
+    else:  # pre-schema manifests: infer as before
+        df = spark.read.parquet(f"{output_dir}/data")
     if not runs:
         return df.limit(0)
     cond = reduce(

@@ -46,6 +46,21 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     )
 
 
+def _salted_bucket_write(df: DataFrame, num_partitions: int,
+                         files_per_bucket: int) -> DataFrame:
+    """Shared write-shuffle shape for run_extraction and compact: salt on
+    (conv_id, turn_idx) so each bucket fans out over ~files_per_bucket
+    files instead of hashing whole onto one task."""
+    return (
+        df.withColumn(
+            "_wsalt",
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(files_per_bucket)),
+        )
+        .repartition(num_partitions, "bucket", "_wsalt")
+        .drop("_wsalt")
+    )
+
+
 def salted_repartition(df: DataFrame, num_partitions: int,
                        sort: bool = False) -> DataFrame:
     """Shuffle on (conv_id, turn-block): heavy conversations split across
@@ -158,31 +173,24 @@ def run_extraction(
     # _wsalt bounds files-per-bucket while keeping write parallelism.
     parts = num_partitions or spark.sparkContext.defaultParallelism * 2
     files_per_bucket = max(1, parts // n_buckets) * 2
-    for_write = (
-        extracted.withColumn(
-            "_wsalt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(files_per_bucket))
-        )
-        .repartition(parts, "bucket", "_wsalt")
-        .drop("_wsalt")
-    )
+    for_write = _salted_bucket_write(extracted, parts, files_per_bucket)
 
     run_id = manifest.next_run_id()
     data_dir = f"{output_dir}/data"
     # data is laid out run_id/bucket so that files from a killed,
     # never-committed run are invisible to committed_view (Iceberg
     # orphan-file semantics) and a resume can never double-count
-    (
-        for_write.withColumn("run_id", F.lit(run_id))
-        .write.mode("append")
-        .partitionBy("run_id", "bucket")
-        .parquet(data_dir)
-    )
+    to_write = for_write.withColumn("run_id", F.lit(run_id))
+    data_schema = to_write.schema  # recorded in the manifest (see commit)
+    to_write.write.mode("append").partitionBy("run_id", "bucket").parquet(data_dir)
 
     # lineage from the data actually written (verify-what-committed): ONE
     # read-back pass aggregated to <=n_buckets rows, collected, and both
     # (a) appended to the lineage table and (b) summed for the run's row
-    # count — no second full count() job over the written files.
-    written = spark.read.parquet(data_dir).filter(
+    # count — no second full count() job over the written files. The
+    # explicit schema makes a zero-row run (empty input) readable — no
+    # UNABLE_TO_INFER_SCHEMA on a file-less partitioned dir.
+    written = spark.read.schema(data_schema).parquet(data_dir).filter(
         (F.col("run_id") == run_id) & F.col("bucket").isin(pending)
     )
     lineage_rows = (
@@ -212,7 +220,8 @@ def run_extraction(
     lineage.coalesce(1).write.mode("append").parquet(f"{output_dir}/lineage")
 
     rows = sum(int(r["rows_out"]) for r in lineage_rows)
-    manifest.commit(run_id, snapshot_id, pending)
+    manifest.commit(run_id, snapshot_id, pending,
+                    data_schema_json=data_schema.json())
     return {"run_id": run_id, "buckets": pending, "rows": rows, "resumed": bool(done)}
 
 
@@ -236,14 +245,10 @@ def compact(spark: SparkSession, output_dir: str,
     data_dir = f"{output_dir}/data"
     n_buckets = max(len(manifest.committed_buckets()), 1)
     (
-        committed.withColumn("run_id", F.lit(run_id))
-        # salt the shuffle key like run_extraction's write does: bucket
-        # alone hashes a whole bucket to one partition (= one file), which
-        # silently ignores files_per_bucket > 1
-        .withColumn("_wsalt", F.pmod(F.xxhash64("conv_id", "turn_idx"),
-                                     F.lit(files_per_bucket)))
-        .repartition(n_buckets * files_per_bucket, "bucket", "_wsalt")
-        .drop("_wsalt")
+        _salted_bucket_write(
+            committed.withColumn("run_id", F.lit(run_id)),
+            n_buckets * files_per_bucket, files_per_bucket,
+        )
         .write.mode("append")
         .partitionBy("run_id", "bucket")
         .parquet(data_dir)
@@ -270,24 +275,37 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0) -> list[str]:
 
     manifest = Manifest(output_dir)
     live = {r["run_id"] for r in manifest.runs()}
-    inflight = manifest.inflight()
+    leases = manifest.inflight_leases()
     now = time.time()
     removed = []
+    reclaimed_leases = []
     data = pathlib.Path(output_dir) / "data"
+    dirs_seen = set()
     if data.exists():
         for d in sorted(data.glob("run_id=*")):
             rid = d.name.split("=", 1)[1]
+            dirs_seen.add(rid)
             if rid in live:
                 continue
-            if rid in inflight:
+            if rid in leases:
                 try:
                     newest = max(p.stat().st_mtime for p in d.rglob("*") if p.is_file())
                 except ValueError:
                     newest = d.stat().st_mtime
                 if now - newest < grace_seconds:
                     continue  # live (or freshly crashed) run: leave it
+                reclaimed_leases.append(rid)
             shutil.rmtree(d)
             removed.append(d.name)
+    # settle leases for dirs we just reclaimed, plus dir-less leases past
+    # the grace period (a run that crashed before its first write) — the
+    # manifest must not grow without bound across crash/resume cycles
+    stale_dirless = [
+        rid for rid, reserved_at in leases.items()
+        if rid not in dirs_seen and rid not in live
+        and now - reserved_at >= grace_seconds
+    ]
+    manifest.prune_inflight(reclaimed_leases + stale_dirless)
     return removed
 
 

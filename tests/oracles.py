@@ -153,8 +153,11 @@ _JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
 
 
 def java_ws_split(text: str) -> list[str]:
-    """split(trim(lower(text)), '\\s+') semantics (Java \\s, ASCII-ish)."""
-    return _JAVA_WS.split(text.strip().lower())
+    """split(trim(lower(text)), '\\s+') semantics: Spark's trim strips
+    ONLY spaces (not \\t/\\n/NBSP like Python strip()), and the split
+    class is Java \\s. lower() runs before trim, matching the operator's
+    F.trim(F.lower(col)) composition."""
+    return _JAVA_WS.split(text.lower().strip(" "))
 
 
 def word_shingles(toks: list[str], n: int) -> list[str]:

@@ -107,6 +107,22 @@ def test_nested_unclosed_a_chain_recovers():
     assert BODY in r["extracted_text"]
 
 
+def test_inline_close_inside_script_string_does_not_leak():
+    """'</i>' inside a JS string must not pop through the open <script>
+    and leak the script body into the extracted text."""
+    r = extract_one(
+        f'<i>hello <script>var s = "</i>"; secret();</script> world</i>'
+        f"<p>{BODY}</p>"
+    )
+    assert "secret" not in r["extracted_text"]
+    assert '";' not in r["extracted_text"]
+    assert r["extracted_text"] == f"hello world\n\n{BODY}"
+    # nested skip tags still close correctly from inside
+    r2 = extract_one(f"<p>a<script><style>zz</style>yy</script>b {BODY}</p>")
+    assert "zz" not in r2["extracted_text"] and "yy" not in r2["extracted_text"]
+    assert r2["extracted_text"].startswith("ab ")
+
+
 def test_close_inside_skip_region_is_inert():
     """</a> (or any close) inside <script> must not decrement counters of
     opens outside the skip region, and must not corrupt skip_depth."""

@@ -179,6 +179,22 @@ def test_compact_files_per_bucket(spark, transcripts, tmp_path):
     assert per_bucket and all(n > 1 for n in per_bucket), per_bucket
 
 
+def test_empty_input_run_is_graceful(spark, tmp_path):
+    """A fresh run over a zero-row input must commit (empty) buckets and
+    stay readable — no schema-inference crash on the file-less data dir."""
+    from docling_api_spark.gen import transcripts_df
+    from docling_api_spark.plans.checkpoint import committed_view
+    from docling_api_spark.plans.pipeline import run_extraction
+
+    out = tmp_path / "out"
+    empty = transcripts_df(spark, 1).limit(0)
+    s = run_extraction(spark, empty, str(out), n_buckets=4)
+    assert s["rows"] == 0 and len(s["buckets"]) == 4
+    assert committed_view(spark, str(out)).count() == 0
+    p = run_extraction(spark, empty, str(out), n_buckets=4)
+    assert p["buckets"] == [] and p["resumed"]
+
+
 def test_lineage_metrics(spark, transcripts, tmp_path):
     """North rule: per-partition lineage with rows in/out + error counts
     + pages + credits (usage_records analog)."""

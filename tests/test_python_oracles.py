@@ -89,7 +89,7 @@ def test_simhash_matches_python_oracle(spark):
 
 def test_minhash_lsh_matches_python_oracle(spark):
     """Full-pipeline oracle: exact-dup prefilter, 16 minhashes, 4 bands,
-    hybrid all-pairs/star expansion, exact token-set Jaccard — recomputed
+    hybrid all-pairs/chain expansion, exact token-set Jaccard — recomputed
     in pure Python and compared as an exact edge set."""
     import hashlib
 
@@ -147,8 +147,8 @@ def test_minhash_lsh_matches_python_oracle(spark):
         ids = sorted(ids)
         if len(ids) <= MAX_BUCKET:
             cands |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
-        else:
-            cands |= {(ids[0], b) for b in ids[1:]}
+        else:  # chain expansion over sorted ids
+            cands |= set(zip(ids, ids[1:]))
     # exact token-set Jaccard verify
     tokset = {rid: set(java_ws_split(text_by[rid])) for rid in reps}
     for a, b in cands:
