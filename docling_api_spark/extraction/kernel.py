@@ -406,12 +406,22 @@ def _parse_html(text: str):
             continue
         # closing tag
         inert_name = "\0" + name
-        if skip_depth and not (name in _SKIP_TAGS or inert_name in stack):
-            # inside <script>/<style>: a close tag that matches neither a
-            # skip tag nor an in-region (inert) open is just script TEXT
-            # (e.g. '</i>' inside a JS string) — it must never pop through
-            # the skip boundary and leak the script body into the output
-            continue
+        if skip_depth:
+            # inside <script>/<style>/...: a close tag is honored only if
+            # it ends the INNERMOST open skip region, or matches an open
+            # made inside that region (inert entry above the skip tag);
+            # anything else ('</i>' or even '</head>' inside a JS string)
+            # is script TEXT and must never pop through the boundary
+            top_skip = next(
+                (i for i in range(len(stack) - 1, -1, -1)
+                 if stack[i] in _SKIP_TAGS),
+                -1,
+            )
+            if top_skip >= 0 and not (
+                stack[top_skip] == name
+                or inert_name in stack[top_skip + 1:]
+            ):
+                continue
         if stack and (name in stack or inert_name in stack):
             # pop to the matching open (tolerates interleaving)
             while stack:

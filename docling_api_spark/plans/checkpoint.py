@@ -21,26 +21,58 @@ to manifest-committed buckets — the Iceberg-snapshot-isolation analog.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import pathlib
+import time
 
 
 class Manifest:
     def __init__(self, output_dir: str):
         self.dir = pathlib.Path(output_dir)
         self.path = self.dir / "manifest.json"
+        self.lock_path = self.dir / "manifest.lock"
+
+    @contextlib.contextmanager
+    def _locked(self):
+        """Advisory mutation lock (O_CREAT|O_EXCL): every read-modify-
+        write of manifest.json runs under it, so a vacuum's lease pruning
+        cannot lose-update a concurrent run's commit. Readers stay
+        lock-free (the tmp+rename write is atomic). A lock older than 60s
+        is considered crashed and stolen."""
+        self.dir.mkdir(parents=True, exist_ok=True)
+        while True:
+            try:
+                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - self.lock_path.stat().st_mtime > 60:
+                        self.lock_path.unlink(missing_ok=True)
+                        continue
+                except FileNotFoundError:
+                    continue
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            self.lock_path.unlink(missing_ok=True)
 
     def _read(self) -> dict:
         if not self.path.exists():
             return {"runs": [], "buckets": [], "run_counter": 0,
-                    "inflight": {}}
+                    "inflight": {}, "retired": []}
         state = json.loads(self.path.read_text())
         # back-compat: older manifests counted runs by list length
         state.setdefault("run_counter", len(state["runs"]))
+        state.setdefault("retired", [])
         inflight = state.setdefault("inflight", {})
-        if isinstance(inflight, list):  # pre-timestamp lease format
-            state["inflight"] = {r: 0.0 for r in inflight}
+        if isinstance(inflight, list):  # pre-timestamp lease format:
+            # stamp with NOW, not 0.0 — a migrated in-flight run must get
+            # a fresh grace window, not instant reclaim eligibility
+            state["inflight"] = {r: time.time() for r in inflight}
         return state
 
     def _write(self, state: dict) -> None:
@@ -61,15 +93,14 @@ class Manifest:
         the re-committed (run_id, bucket) partitions). The id is also
         recorded as in-flight: vacuum() will not delete a fresh
         uncommitted dir out from under a live run."""
-        import time
-
-        state = self._read()
-        run_id = f"run-{state['run_counter']:04d}"
-        state["run_counter"] += 1
-        # lease value = reservation time (ops-plane staleness signal for
-        # vacuum; nothing in the data plane reads it)
-        state["inflight"][run_id] = time.time()
-        self._write(state)
+        with self._locked():
+            state = self._read()
+            run_id = f"run-{state['run_counter']:04d}"
+            state["run_counter"] += 1
+            # lease value = reservation time (ops-plane staleness signal
+            # for vacuum; nothing in the data plane reads it)
+            state["inflight"][run_id] = time.time()
+            self._write(state)
         return run_id
 
     def _settle(self, state: dict, run_id: str) -> None:
@@ -77,18 +108,19 @@ class Manifest:
 
     def commit(self, run_id: str, snapshot_id: str, buckets: list[int],
                data_schema_json: str | None = None) -> None:
-        state = self._read()
-        new = [b for b in buckets if b not in set(state["buckets"])]
-        state["runs"].append(
-            {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": new}
-        )
-        state["buckets"] = sorted(set(state["buckets"]) | set(new))
-        if data_schema_json:
-            # recorded so committed_view can read a data dir that holds no
-            # parquet files yet (zero-row runs) without schema inference
-            state["data_schema"] = data_schema_json
-        self._settle(state, run_id)
-        self._write(state)
+        with self._locked():
+            state = self._read()
+            new = [b for b in buckets if b not in set(state["buckets"])]
+            state["runs"].append(
+                {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": new}
+            )
+            state["buckets"] = sorted(set(state["buckets"]) | set(new))
+            if data_schema_json:
+                # recorded so committed_view can read a data dir that holds
+                # no parquet files yet (zero-row runs) without inference
+                state["data_schema"] = data_schema_json
+            self._settle(state, run_id)
+            self._write(state)
 
     def data_schema_json(self) -> str | None:
         return self._read().get("data_schema")
@@ -96,15 +128,20 @@ class Manifest:
     def replace_runs(self, run_id: str, snapshot_id: str) -> None:
         """Compaction commit: the single ``run_id`` now carries EVERY
         committed bucket; prior runs' data dirs become orphans (invisible
-        to committed_view). The committed-bucket set is unchanged — resume
-        semantics are unaffected."""
-        state = self._read()
-        state["runs"] = [
-            {"run_id": run_id, "snapshot_id": snapshot_id,
-             "buckets": list(state["buckets"])}
-        ]
-        self._settle(state, run_id)
-        self._write(state)
+        to committed_view) and are recorded as RETIRED — vacuum may
+        reclaim a retired dir immediately (its rows live on in the
+        compacted run), while unknown dirs get the mtime grace window.
+        The committed-bucket set is unchanged — resume is unaffected."""
+        with self._locked():
+            state = self._read()
+            retired = {r["run_id"] for r in state["runs"]} - {run_id}
+            state["retired"] = sorted(set(state["retired"]) | retired)
+            state["runs"] = [
+                {"run_id": run_id, "snapshot_id": snapshot_id,
+                 "buckets": list(state["buckets"])}
+            ]
+            self._settle(state, run_id)
+            self._write(state)
 
     def inflight(self) -> set[str]:
         return set(self._read()["inflight"])
@@ -112,18 +149,24 @@ class Manifest:
     def inflight_leases(self) -> dict[str, float]:
         return dict(self._read()["inflight"])
 
-    def prune_inflight(self, run_ids) -> None:
-        """Drop settled/reclaimed leases (called by vacuum after it
-        removes an aged-out crashed run's dir, and for aged dir-less
-        leases) so the manifest cannot grow without bound across
-        crash/resume cycles."""
-        ids = set(run_ids)
-        if not ids:
+    def retired(self) -> set[str]:
+        return set(self._read()["retired"])
+
+    def prune(self, lease_ids=(), retired_ids=()) -> None:
+        """Drop reclaimed leases / retired entries (called by vacuum
+        after it removes the corresponding dirs) so the manifest cannot
+        grow without bound across crash/compaction cycles. Runs under the
+        mutation lock — never clobbers a concurrent commit."""
+        lease_ids, retired_ids = set(lease_ids), set(retired_ids)
+        if not lease_ids and not retired_ids:
             return
-        state = self._read()
-        state["inflight"] = {k: v for k, v in state["inflight"].items()
-                             if k not in ids}
-        self._write(state)
+        with self._locked():
+            state = self._read()
+            state["inflight"] = {k: v for k, v in state["inflight"].items()
+                                 if k not in lease_ids}
+            state["retired"] = [r for r in state["retired"]
+                                if r not in retired_ids]
+            self._write(state)
 
     def runs(self) -> list[dict]:
         return self._read()["runs"]
@@ -138,15 +181,13 @@ def committed_view(spark, output_dir: str):
 
     from pyspark.sql import functions as F
 
-    import json as _json
-
     from pyspark.sql import types as T
 
     m = Manifest(output_dir)
     runs = [r for r in m.runs() if r["buckets"]]
     schema_json = m.data_schema_json()
     if schema_json:
-        schema = T.StructType.fromJson(_json.loads(schema_json))
+        schema = T.StructType.fromJson(json.loads(schema_json))
         df = spark.read.schema(schema).parquet(f"{output_dir}/data")
     else:  # pre-schema manifests: infer as before
         df = spark.read.parquet(f"{output_dir}/data")

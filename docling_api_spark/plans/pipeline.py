@@ -253,7 +253,19 @@ def compact(spark: SparkSession, output_dir: str,
         .partitionBy("run_id", "bucket")
         .parquet(data_dir)
     )
-    rows = spark.read.parquet(data_dir).filter(F.col("run_id") == run_id).count()
+    # read-back with the recorded schema (like run_extraction): inference
+    # fails on a file-less dir when every committed run was zero-row
+    schema_json = manifest.data_schema_json()
+    if schema_json:
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        reader = spark.read.schema(
+            T.StructType.fromJson(_json.loads(schema_json)))
+    else:
+        reader = spark.read
+    rows = reader.parquet(data_dir).filter(F.col("run_id") == run_id).count()
     manifest.replace_runs(run_id, snapshot_id=f"compact-{run_id}")
     return {"run_id": run_id, "rows": rows,
             "buckets": sorted(manifest.committed_buckets())}
@@ -261,24 +273,33 @@ def compact(spark: SparkSession, output_dir: str,
 
 def vacuum(output_dir: str, grace_seconds: float = 86400.0) -> list[str]:
     """Delete data directories of runs no longer referenced by the
-    manifest (orphans from killed runs + pre-compaction runs) — the
-    Iceberg expire-snapshots/remove-orphan-files analog.
+    manifest — the Iceberg expire-snapshots/remove-orphan-files analog.
 
-    Concurrency guard: a run id reserved by ``next_run_id`` but not yet
-    committed is IN-FLIGHT (Manifest.inflight) — its uncommitted dir
-    looks exactly like an orphan, so vacuum skips it unless the dir has
-    been idle longer than ``grace_seconds`` (a crashed run's lease ages
-    out; a live run keeps writing). mtime here is an ops-plane staleness
-    signal only — nothing in the data plane depends on it."""
+    Policy per non-live ``run_id=*`` dir:
+    - RETIRED (replaced by a compaction commit): reclaim immediately —
+      its rows live on in the compacted run.
+    - everything else (leased in-flight runs AND unknown orphans alike):
+      reclaim only after the dir has been idle for ``grace_seconds``.
+      Applying the mtime grace to unknown dirs too closes the race where
+      a live run's lease was pruned while its first write job was still
+      staging (no run_id dir yet) — when the dir finally appears it is
+      'unknown' but fresh, so it survives until the run commits.
+    Reclaimed dirs settle their lease/retired manifest entries (under the
+    manifest mutation lock), as do dir-less leases past the grace period,
+    so the manifest stays bounded across crash/compaction cycles. mtime
+    is an ops-plane staleness signal only — nothing in the data plane
+    depends on it."""
     import shutil
     import time
 
     manifest = Manifest(output_dir)
     live = {r["run_id"] for r in manifest.runs()}
     leases = manifest.inflight_leases()
+    retired = manifest.retired()
     now = time.time()
     removed = []
-    reclaimed_leases = []
+    reclaimed_leases: list[str] = []
+    reclaimed_retired: list[str] = []
     data = pathlib.Path(output_dir) / "data"
     dirs_seen = set()
     if data.exists():
@@ -287,25 +308,26 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0) -> list[str]:
             dirs_seen.add(rid)
             if rid in live:
                 continue
-            if rid in leases:
+            if rid not in retired:
                 try:
                     newest = max(p.stat().st_mtime for p in d.rglob("*") if p.is_file())
                 except ValueError:
                     newest = d.stat().st_mtime
                 if now - newest < grace_seconds:
-                    continue  # live (or freshly crashed) run: leave it
+                    continue  # live or freshly crashed run: leave it
+            if rid in leases:
                 reclaimed_leases.append(rid)
+            if rid in retired:
+                reclaimed_retired.append(rid)
             shutil.rmtree(d)
             removed.append(d.name)
-    # settle leases for dirs we just reclaimed, plus dir-less leases past
-    # the grace period (a run that crashed before its first write) — the
-    # manifest must not grow without bound across crash/resume cycles
     stale_dirless = [
         rid for rid, reserved_at in leases.items()
         if rid not in dirs_seen and rid not in live
         and now - reserved_at >= grace_seconds
     ]
-    manifest.prune_inflight(reclaimed_leases + stale_dirless)
+    manifest.prune(lease_ids=reclaimed_leases + stale_dirless,
+                   retired_ids=reclaimed_retired)
     return removed
 
 

@@ -117,6 +117,18 @@ def test_inline_close_inside_script_string_does_not_leak():
     assert "secret" not in r["extracted_text"]
     assert '";' not in r["extracted_text"]
     assert r["extracted_text"] == f"hello world\n\n{BODY}"
+    # an OUTER skip-tag close inside the script string must not end the
+    # script region either (only the innermost skip tag's own close does)
+    ro = extract_one(
+        f'<head><script>var s = "</head>"; secret();</script></head>'
+        f"<body><p>{BODY}</p></body>"
+    )
+    assert "secret" not in ro["extracted_text"]
+    assert ro["extracted_text"] == BODY
+    rs = extract_one(
+        f'<svg><script>x = "</svg>"; leak();</script></svg><p>{BODY}</p>'
+    )
+    assert "leak" not in rs["extracted_text"]
     # nested skip tags still close correctly from inside
     r2 = extract_one(f"<p>a<script><style>zz</style>yy</script>b {BODY}</p>")
     assert "zz" not in r2["extracted_text"] and "yy" not in r2["extracted_text"]

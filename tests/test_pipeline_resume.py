@@ -193,6 +193,13 @@ def test_empty_input_run_is_graceful(spark, tmp_path):
     assert committed_view(spark, str(out)).count() == 0
     p = run_extraction(spark, empty, str(out), n_buckets=4)
     assert p["buckets"] == [] and p["resumed"]
+    # compaction over an all-zero-row output is also readable (schema
+    # from the manifest, not inference)
+    from docling_api_spark.plans.pipeline import compact
+
+    c = compact(spark, str(out))
+    assert c["rows"] == 0
+    assert committed_view(spark, str(out)).count() == 0
 
 
 def test_lineage_metrics(spark, transcripts, tmp_path):
