@@ -131,6 +131,10 @@ _BLOCK_TAGS = frozenset(
 )
 _CHROME_TAGS = frozenset(["nav", "header", "footer", "aside"])
 _SKIP_TAGS = frozenset(["script", "style", "noscript", "template", "head", "svg"])
+# RAWTEXT elements per the HTML parsing model: their content is literal
+# text until the matching close tag — tags inside NEVER open or close
+# anything ('<style>' or '</head>' inside a JS string is just text)
+_RAWTEXT_TAGS = frozenset(["script", "style"])
 _VOID_TAGS = frozenset(["br", "hr", "img", "meta", "link", "input", "source", "col", "area", "base", "embed", "param", "track", "wbr"])
 
 # Boilerplate thresholds (the Readability/Boilerpipe/JusText density family;
@@ -240,7 +244,8 @@ def _parse_html(text: str):
     bogus entities) — mirrors Docling's never-crash posture (C10)."""
     nodes: list[object] = []          # _Block | _Table in doc order
     stack: list[str] = []
-    skip_depth = 0
+    skip_depth = 0                    # parsed-skip + rawtext region depth
+    rawtext_tag = None                # innermost RAWTEXT region, if any
     chrome_depth = 0
     a_depth = 0
     list_stack: list[list] = []       # [tag, counter]
@@ -325,18 +330,28 @@ def _parse_html(text: str):
                 b.ordered = lst[0] == "ol"
                 stack.append(name)
                 continue
+            if rawtext_tag is not None:
+                continue  # inside <script>/<style>: tags are literal text
+            if skip_depth:
+                # inside a parsed-skip region (<head>/<svg>/...): markup
+                # still nests. A rawtext open starts a nested rawtext
+                # region; any other open is an INERT marker — consumed
+                # positionally by its close, but the pop never touches
+                # counters this (suppressed) open never bumped.
+                if not selfclose:
+                    if name in _RAWTEXT_TAGS:
+                        stack.append(name)
+                        skip_depth += 1
+                        rawtext_tag = name
+                    else:
+                        stack.append("\0" + name)
+                continue
             if name in _SKIP_TAGS:
                 if not selfclose:
                     stack.append(name)
                     skip_depth += 1
-                continue
-            if skip_depth:
-                # inside <script>/<style>/...: push an INERT marker so the
-                # matching close can be consumed positionally, but the pop
-                # never touches a_depth/chrome_depth/list/table state that
-                # this open (suppressed by skip) never incremented
-                if not selfclose:
-                    stack.append("\0" + name)
+                    if name in _RAWTEXT_TAGS:
+                        rawtext_tag = name
                 continue
             if name in _CHROME_TAGS:
                 stack.append(name)
@@ -406,21 +421,16 @@ def _parse_html(text: str):
             continue
         # closing tag
         inert_name = "\0" + name
-        if skip_depth:
-            # inside <script>/<style>/...: a close tag is honored only if
-            # it ends the INNERMOST open skip region, or matches an open
-            # made inside that region (inert entry above the skip tag);
-            # anything else ('</i>' or even '</head>' inside a JS string)
-            # is script TEXT and must never pop through the boundary
-            top_skip = next(
-                (i for i in range(len(stack) - 1, -1, -1)
-                 if stack[i] in _SKIP_TAGS),
-                -1,
-            )
-            if top_skip >= 0 and not (
-                stack[top_skip] == name
-                or inert_name in stack[top_skip + 1:]
-            ):
+        if rawtext_tag is not None:
+            # rawtext content is literal until the matching close tag —
+            # '</i>' or '</head>' inside a JS string is just text
+            if name != rawtext_tag:
+                continue
+        elif skip_depth:
+            # inside a parsed-skip region: honor only closes of an open
+            # skip tag (ends that region) or of an inert in-region open
+            if not ((name in _SKIP_TAGS and name in stack)
+                    or inert_name in stack):
                 continue
         if stack and (name in stack or inert_name in stack):
             # pop to the matching open (tolerates interleaving)
@@ -434,6 +444,8 @@ def _parse_html(text: str):
                     continue
                 if top in _SKIP_TAGS:
                     skip_depth -= 1
+                    if top in _RAWTEXT_TAGS:
+                        rawtext_tag = None
                 elif top in _CHROME_TAGS:
                     chrome_depth -= 1
                 elif top == "a":

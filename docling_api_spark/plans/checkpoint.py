@@ -39,26 +39,46 @@ class Manifest:
         """Advisory mutation lock (O_CREAT|O_EXCL): every read-modify-
         write of manifest.json runs under it, so a vacuum's lease pruning
         cannot lose-update a concurrent run's commit. Readers stay
-        lock-free (the tmp+rename write is atomic). A lock older than 60s
-        is considered crashed and stolen."""
+        lock-free (the tmp+rename write is atomic).
+
+        A lock older than 60s is presumed crashed and stolen ATOMICALLY:
+        the stealer os.rename()s it aside — exactly one renamer succeeds,
+        then the normal O_EXCL race picks the single new owner (plain
+        unlink-and-retry would let two stealers both acquire). Each owner
+        writes a unique token into its lock and releases only if the
+        token still matches, so a slow pre-steal holder cannot delete the
+        thief's lock."""
         self.dir.mkdir(parents=True, exist_ok=True)
+        token = f"{os.getpid()}-{time.time_ns()}"
         while True:
             try:
                 fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - self.lock_path.stat().st_mtime > 60:
-                        self.lock_path.unlink(missing_ok=True)
-                        continue
+                    stale = time.time() - self.lock_path.stat().st_mtime > 60
                 except FileNotFoundError:
+                    continue
+                if stale:
+                    grave = self.lock_path.with_name(
+                        f"manifest.lock.stale-{token}")
+                    try:
+                        os.rename(self.lock_path, grave)
+                    except FileNotFoundError:
+                        continue  # someone else stole it first
+                    grave.unlink(missing_ok=True)
                     continue
                 time.sleep(0.05)
         try:
             yield
         finally:
-            self.lock_path.unlink(missing_ok=True)
+            try:
+                if self.lock_path.read_text() == token:
+                    self.lock_path.unlink(missing_ok=True)
+            except FileNotFoundError:
+                pass
 
     def _read(self) -> dict:
         if not self.path.exists():
@@ -70,9 +90,14 @@ class Manifest:
         state.setdefault("retired", [])
         inflight = state.setdefault("inflight", {})
         if isinstance(inflight, list):  # pre-timestamp lease format:
-            # stamp with NOW, not 0.0 — a migrated in-flight run must get
-            # a fresh grace window, not instant reclaim eligibility
-            state["inflight"] = {r: time.time() for r in inflight}
+            # stamp with the manifest file's mtime — a STABLE historical
+            # instant (>= the reservation time), so the migrated lease
+            # both gets a real grace window and actually ages out.
+            # Stamping NOW would restart the window on every read (a
+            # vacuum-only workload would never reclaim); stamping 0.0
+            # would make every legacy lease instantly reclaimable.
+            stamp = self.path.stat().st_mtime
+            state["inflight"] = {r: stamp for r in inflight}
         return state
 
     def _write(self, state: dict) -> None:
@@ -172,6 +197,19 @@ class Manifest:
         return self._read()["runs"]
 
 
+def manifest_data_reader(spark, manifest: Manifest):
+    """DataFrameReader for the manifest's data dir: uses the recorded
+    write schema when present so a file-less (zero-row) dir reads as
+    empty instead of failing schema inference. Shared by committed_view
+    and compact()."""
+    from pyspark.sql import types as T
+
+    schema_json = manifest.data_schema_json()
+    if schema_json:
+        return spark.read.schema(T.StructType.fromJson(json.loads(schema_json)))
+    return spark.read  # pre-schema manifests: infer as before
+
+
 def committed_view(spark, output_dir: str):
     """Snapshot-isolated read: only manifest-committed (run_id, bucket)
     pairs are visible; orphan files from killed runs are filtered by the
@@ -181,16 +219,9 @@ def committed_view(spark, output_dir: str):
 
     from pyspark.sql import functions as F
 
-    from pyspark.sql import types as T
-
     m = Manifest(output_dir)
     runs = [r for r in m.runs() if r["buckets"]]
-    schema_json = m.data_schema_json()
-    if schema_json:
-        schema = T.StructType.fromJson(json.loads(schema_json))
-        df = spark.read.schema(schema).parquet(f"{output_dir}/data")
-    else:  # pre-schema manifests: infer as before
-        df = spark.read.parquet(f"{output_dir}/data")
+    df = manifest_data_reader(spark, m).parquet(f"{output_dir}/data")
     if not runs:
         return df.limit(0)
     cond = reduce(

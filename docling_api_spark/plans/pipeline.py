@@ -255,17 +255,12 @@ def compact(spark: SparkSession, output_dir: str,
     )
     # read-back with the recorded schema (like run_extraction): inference
     # fails on a file-less dir when every committed run was zero-row
-    schema_json = manifest.data_schema_json()
-    if schema_json:
-        import json as _json
+    from docling_api_spark.plans.checkpoint import manifest_data_reader
 
-        from pyspark.sql import types as T
-
-        reader = spark.read.schema(
-            T.StructType.fromJson(_json.loads(schema_json)))
-    else:
-        reader = spark.read
-    rows = reader.parquet(data_dir).filter(F.col("run_id") == run_id).count()
+    rows = (
+        manifest_data_reader(spark, manifest).parquet(data_dir)
+        .filter(F.col("run_id") == run_id).count()
+    )
     manifest.replace_runs(run_id, snapshot_id=f"compact-{run_id}")
     return {"run_id": run_id, "rows": rows,
             "buckets": sorted(manifest.committed_buckets())}
@@ -293,9 +288,10 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0) -> list[str]:
     import time
 
     manifest = Manifest(output_dir)
-    live = {r["run_id"] for r in manifest.runs()}
-    leases = manifest.inflight_leases()
-    retired = manifest.retired()
+    state = manifest._read()  # ONE consistent snapshot for all 3 views
+    live = {r["run_id"] for r in state["runs"]}
+    leases = dict(state["inflight"])
+    retired = set(state["retired"])
     now = time.time()
     removed = []
     reclaimed_leases: list[str] = []
@@ -326,8 +322,12 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0) -> list[str]:
         if rid not in dirs_seen and rid not in live
         and now - reserved_at >= grace_seconds
     ]
+    # retired runs whose dirs are already gone (zero-row runs never write
+    # a dir; or a prior vacuum crashed between rmtree and prune) — settle
+    # them too, or the retired list grows one entry per compaction cycle
+    dirless_retired = [r for r in retired if r not in dirs_seen]
     manifest.prune(lease_ids=reclaimed_leases + stale_dirless,
-                   retired_ids=reclaimed_retired)
+                   retired_ids=reclaimed_retired + dirless_retired)
     return removed
 
 

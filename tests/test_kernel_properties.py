@@ -129,6 +129,30 @@ def test_inline_close_inside_script_string_does_not_leak():
         f'<svg><script>x = "</svg>"; leak();</script></svg><p>{BODY}</p>'
     )
     assert "leak" not in rs["extracted_text"]
+
+
+def test_rawtext_vs_parsed_skip_semantics():
+    """script/style are RAWTEXT (only their literal close ends them —
+    tag-shaped strings inside are text); head/svg are parsed-skip
+    (suppressed but still nesting markup)."""
+    # a skip-tag OPEN inside a script string must not swallow the doc
+    r = extract_one(f'<script>var s = "<style>"; x();</script><p>{BODY}</p>')
+    assert r["extracted_text"] == BODY
+    r = extract_one(f'<script>document.write("<svg>")</script><p>{BODY}</p>')
+    assert r["extracted_text"] == BODY
+    # style raw text with its own close inside a CSS string
+    r = extract_one(f'<style>p {{ content: "</style>"; }}</style><p>{BODY}</p>')
+    assert "content" not in r["extracted_text"] and BODY in r["extracted_text"]
+    # parsed-skip regions still nest real markup and close cleanly
+    r = extract_one(
+        f"<head><style>.x{{color:red}}</style><title>T</title></head>"
+        f"<p>{BODY}</p>"
+    )
+    assert r["extracted_text"] == BODY
+    r = extract_one(
+        f"<svg><rect></rect><text>chart label</text></svg><p>{BODY}</p>"
+    )
+    assert "chart label" not in r["extracted_text"] and BODY in r["extracted_text"]
     # nested skip tags still close correctly from inside
     r2 = extract_one(f"<p>a<script><style>zz</style>yy</script>b {BODY}</p>")
     assert "zz" not in r2["extracted_text"] and "yy" not in r2["extracted_text"]
