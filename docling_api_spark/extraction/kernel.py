@@ -135,6 +135,35 @@ _SKIP_TAGS = frozenset(["script", "style", "noscript", "template", "head", "svg"
 # text until the matching close tag — tags inside NEVER open or close
 # anything ('<style>' or '</head>' inside a JS string is just text)
 _RAWTEXT_TAGS = frozenset(["script", "style"])
+_RAWTEXT_PAIR = re.compile(r"(?is)(<(script|style)\b[^>]*>)(.*?)(</\2\s*>)")
+_RAWTEXT_OPEN = re.compile(r"(?is)<(?:script|style)\b[^>]*>")
+
+
+def _mask_rawtext(text: str) -> str:
+    """Blank script/style bodies with spaces (LENGTH-PRESERVING, so span
+    offsets into the raw input stay valid) before tokenizing. The HTML
+    spec scans rawtext for the literal close sequence, but the shared
+    tokenizer does not: 'i<n' in a script opens a bogus tag token whose
+    first '>' is the one inside '</script>', eating the close and
+    silently dropping the whole rest of the document. Masking makes the
+    region body token-free, so the scanner sees open tag -> spaces ->
+    close tag regardless of what the script contained. An unclosed
+    rawtext open masks to EOF (spec: the rest of the input is its text).
+    """
+    if _RAWTEXT_OPEN.search(text) is None:
+        return text
+    masked = _RAWTEXT_PAIR.sub(
+        lambda m: m.group(1) + " " * len(m.group(3)) + m.group(4), text
+    )
+    # an open with NO matching close anywhere after it is unclosed
+    # (opens inside masked bodies are spaces now): everything after it
+    # is rawtext to EOF
+    for m in _RAWTEXT_OPEN.finditer(masked):
+        name = m.group(0)[1:7].lower().rstrip(" >")  # 'script' or 'style'
+        if re.search(rf"(?is)</{name}\s*>", masked[m.end():]) is None:
+            masked = masked[:m.end()] + " " * (len(masked) - m.end())
+            break
+    return masked
 _VOID_TAGS = frozenset(["br", "hr", "img", "meta", "link", "input", "source", "col", "area", "base", "embed", "param", "track", "wbr"])
 
 # Boilerplate thresholds (the Readability/Boilerpipe/JusText density family;
@@ -241,7 +270,10 @@ _TAG_MEMO: dict = {}
 def _parse_html(text: str):
     """One pass over the byte-stream; emits blocks and tables in document
     order. Best-effort on malformed input (stray '<', unclosed tags,
-    bogus entities) — mirrors Docling's never-crash posture (C10)."""
+    bogus entities) — mirrors Docling's never-crash posture (C10).
+    Rawtext (script/style) bodies are space-masked first (offset-
+    preserving) so arbitrary JS/CSS can never confuse the tokenizer."""
+    text = _mask_rawtext(text)
     nodes: list[object] = []          # _Block | _Table in doc order
     stack: list[str] = []
     skip_depth = 0                    # parsed-skip + rawtext region depth

@@ -36,49 +36,25 @@ class Manifest:
 
     @contextlib.contextmanager
     def _locked(self):
-        """Advisory mutation lock (O_CREAT|O_EXCL): every read-modify-
-        write of manifest.json runs under it, so a vacuum's lease pruning
-        cannot lose-update a concurrent run's commit. Readers stay
-        lock-free (the tmp+rename write is atomic).
-
-        A lock older than 60s is presumed crashed and stolen ATOMICALLY:
-        the stealer os.rename()s it aside — exactly one renamer succeeds,
-        then the normal O_EXCL race picks the single new owner (plain
-        unlink-and-retry would let two stealers both acquire). Each owner
-        writes a unique token into its lock and releases only if the
-        token still matches, so a slow pre-steal holder cannot delete the
-        thief's lock."""
+        """Advisory mutation lock: every read-modify-write of
+        manifest.json runs under an exclusive ``flock`` on a persistent
+        lock file, so a vacuum's lease pruning cannot lose-update a
+        concurrent run's commit. Readers stay lock-free (the tmp+rename
+        write is atomic). flock is kernel-arbitrated (no stat/steal
+        races) and auto-released when the holder dies, so no staleness
+        heuristics or grave files are needed. Local-filesystem semantics
+        are what this sandbox emulation targets; the production framing
+        is an Iceberg catalog's atomic commit, not file locks."""
         self.dir.mkdir(parents=True, exist_ok=True)
-        token = f"{os.getpid()}-{time.time_ns()}"
-        while True:
-            try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    stale = time.time() - self.lock_path.stat().st_mtime > 60
-                except FileNotFoundError:
-                    continue
-                if stale:
-                    grave = self.lock_path.with_name(
-                        f"manifest.lock.stale-{token}")
-                    try:
-                        os.rename(self.lock_path, grave)
-                    except FileNotFoundError:
-                        continue  # someone else stole it first
-                    grave.unlink(missing_ok=True)
-                    continue
-                time.sleep(0.05)
+        import fcntl
+
+        fd = os.open(self.lock_path, os.O_CREAT | os.O_RDWR)
         try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
             yield
         finally:
-            try:
-                if self.lock_path.read_text() == token:
-                    self.lock_path.unlink(missing_ok=True)
-            except FileNotFoundError:
-                pass
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _read(self) -> dict:
         if not self.path.exists():
@@ -167,6 +143,12 @@ class Manifest:
             ]
             self._settle(state, run_id)
             self._write(state)
+
+    def snapshot(self) -> dict:
+        """One consistent, migrated view of the whole manifest state —
+        use this when multiple views (runs/leases/retired) must agree
+        (e.g. vacuum), instead of N accessor calls that each re-read."""
+        return self._read()
 
     def inflight(self) -> set[str]:
         return set(self._read()["inflight"])

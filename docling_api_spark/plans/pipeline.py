@@ -288,7 +288,7 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0) -> list[str]:
     import time
 
     manifest = Manifest(output_dir)
-    state = manifest._read()  # ONE consistent snapshot for all 3 views
+    state = manifest.snapshot()  # ONE consistent view for all 3 aspects
     live = {r["run_id"] for r in state["runs"]}
     leases = dict(state["inflight"])
     retired = set(state["retired"])

@@ -131,6 +131,30 @@ def test_inline_close_inside_script_string_does_not_leak():
     assert "leak" not in rs["extracted_text"]
 
 
+def test_rawtext_bodies_cannot_confuse_the_tokenizer():
+    """Arbitrary JS/CSS ('i<n', '<!--', stray '<') must never eat the
+    literal close tag — rawtext bodies are space-masked before
+    tokenizing, so content after the script always survives."""
+    cases = [
+        f"<script>for(i=0;i<n;i++) f(i);</script><p>{BODY}</p>",
+        f'<script>x = "<!--";</script><p>{BODY}</p>',
+        f"<script>a < b && c > d</script><p>{BODY}</p>",
+        f"<style>p>span {{ color: red }}</style><p>{BODY}</p>",
+        f'<script src="x.js">leftover < tokens</script><p>{BODY}</p>',
+        f"<SCRIPT>UPPER < case</SCRIPT><p>{BODY}</p>",
+    ]
+    for c in cases:
+        r = extract_one(c)
+        assert r["extracted_text"] == BODY, (c, r["extracted_text"])
+    # unclosed rawtext: the rest of the input is its text (HTML spec)
+    r = extract_one(
+        f"<p>kept intro words enough to pass the length rule</p>"
+        f"<script>var x = 1; <p>{BODY}</p>"
+    )
+    assert "kept intro" in r["extracted_text"]
+    assert BODY not in r["extracted_text"]
+
+
 def test_rawtext_vs_parsed_skip_semantics():
     """script/style are RAWTEXT (only their literal close ends them —
     tag-shaped strings inside are text); head/svg are parsed-skip
