@@ -135,8 +135,14 @@ _SKIP_TAGS = frozenset(["script", "style", "noscript", "template", "head", "svg"
 # text until the matching close tag — tags inside NEVER open or close
 # anything ('<style>' or '</head>' inside a JS string is just text)
 _RAWTEXT_TAGS = frozenset(["script", "style"])
-_RAWTEXT_PAIR = re.compile(r"(?is)(<(script|style)\b[^>]*>)(.*?)(</\2\s*>)")
-_RAWTEXT_OPEN = re.compile(r"(?is)<(?:script|style)\b[^>]*>")
+# specials for the rawtext pre-mask scan: a comment open (whose interior
+# must NOT trigger rawtext masking — '<!-- <script> -->' is commented
+# out) or a script/style open tag
+_MASK_SPECIAL = re.compile(r"(?is)<!--|<(script|style)\b[^>]*>")
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"(?is)</script\s*>"),
+    "style": re.compile(r"(?is)</style\s*>"),
+}
 
 
 def _mask_rawtext(text: str) -> str:
@@ -147,23 +153,37 @@ def _mask_rawtext(text: str) -> str:
     first '>' is the one inside '</script>', eating the close and
     silently dropping the whole rest of the document. Masking makes the
     region body token-free, so the scanner sees open tag -> spaces ->
-    close tag regardless of what the script contained. An unclosed
-    rawtext open masks to EOF (spec: the rest of the input is its text).
-    """
-    if _RAWTEXT_OPEN.search(text) is None:
+    close tag regardless of what the script contained.
+
+    Single left-to-right lexical scan, mirroring the HTML tokenizer's
+    precedence: a comment skips to its '-->' (so a commented-out
+    '<script>' never opens a region); a rawtext open masks to the first
+    literal close after it; an unclosed rawtext open masks to EOF (spec:
+    the rest of the input is its text)."""
+    m = _MASK_SPECIAL.search(text)
+    if m is None:
         return text
-    masked = _RAWTEXT_PAIR.sub(
-        lambda m: m.group(1) + " " * len(m.group(3)) + m.group(4), text
-    )
-    # an open with NO matching close anywhere after it is unclosed
-    # (opens inside masked bodies are spaces now): everything after it
-    # is rawtext to EOF
-    for m in _RAWTEXT_OPEN.finditer(masked):
-        name = m.group(0)[1:7].lower().rstrip(" >")  # 'script' or 'style'
-        if re.search(rf"(?is)</{name}\s*>", masked[m.end():]) is None:
-            masked = masked[:m.end()] + " " * (len(masked) - m.end())
-            break
-    return masked
+    parts: list[str] = []
+    last = 0          # copied-through watermark
+    pos = 0           # scan position
+    while m is not None:
+        if m.group(1) is None:  # '<!--'
+            e = text.find("-->", m.end())
+            pos = len(text) if e < 0 else e + 3
+        else:
+            close = _RAWTEXT_CLOSE[m.group(1).lower()].search(text, m.end())
+            if close is None:
+                parts.append(text[last:m.end()])
+                parts.append(" " * (len(text) - m.end()))
+                last = len(text)
+                break
+            parts.append(text[last:m.end()])
+            parts.append(" " * (close.start() - m.end()))
+            last = close.start()
+            pos = close.end()
+        m = _MASK_SPECIAL.search(text, pos)
+    parts.append(text[last:])
+    return "".join(parts)
 _VOID_TAGS = frozenset(["br", "hr", "img", "meta", "link", "input", "source", "col", "area", "base", "embed", "param", "track", "wbr"])
 
 # Boilerplate thresholds (the Readability/Boilerpipe/JusText density family;

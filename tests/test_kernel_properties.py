@@ -153,6 +153,16 @@ def test_rawtext_bodies_cannot_confuse_the_tokenizer():
     )
     assert "kept intro" in r["extracted_text"]
     assert BODY not in r["extracted_text"]
+    # commented-out scripts never open a region (comment precedence)
+    for c in [
+        f"<!-- <script> --><p>{BODY}</p>",
+        f"<!-- disabled: <script>old()</script> --><p>{BODY}</p>",
+        f"<!-- <style> --><p>{BODY}</p>",
+    ]:
+        assert extract_one(c)["extracted_text"] == BODY, c
+    # rawtext containing a comment open still ends at its literal close
+    r = extract_one(f"<script>x<!--y</script><p>{BODY} z</p>")
+    assert BODY in r["extracted_text"] and "x<!--y" not in r["extracted_text"]
 
 
 def test_rawtext_vs_parsed_skip_semantics():
