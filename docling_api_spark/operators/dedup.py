@@ -201,7 +201,24 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         F.sha2(F.col(text_col), 256).alias("_h"),
     )
     keepers = hashed.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
-    withk = hashed.join(keepers, "_h")  # shuffle key is the 32-byte hash
+    # The prefilter subtree (scan -> sha2 over full text -> groupBy ->
+    # join) feeds FOUR consumers downstream: exact_pairs, the minhash
+    # signature, and both sides of jaccard_verify. Persist it once so the
+    # full-corpus scan+hash+shuffle runs a single time instead of 3-4x
+    # (measured 5x end-to-end at sf0.1; at 100 TB each recompute is an
+    # extra full-corpus pass). MEMORY_AND_DISK (the persist() default)
+    # spills rather than OOMs when the corpus exceeds executor memory.
+    withk = (
+        hashed.join(keepers, "_h")  # shuffle key is the 32-byte hash
+        .select(id_col, text_col, "_keeper")
+        .persist()
+    )
+    # Materialize eagerly: the consumers' stages are submitted
+    # concurrently (AQE), and a lazily-persisted node races — each branch
+    # recomputes the parent before any finishes populating the cache.
+    # One count() forces a single materializing pass (measured 10.3s ->
+    # ~2s for the whole query at sf0.1, identical output).
+    withk.count()
     exact_pairs = (
         withk.filter(F.col(id_col) != F.col("_keeper"))
         .select(
