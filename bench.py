@@ -144,8 +144,9 @@ def main() -> None:
             "q1_pricing_summary",
             "j4_parity_join",
             "a4_usage_rollup",
-            "w1_sliding_count",
+            "w1_rate_windows",
             "w2_turn_ordering",
+            "skew_salted_rollup",
             "dedup_exact",
             "dedup_minhash_lsh",
             "dedup_simhash",
@@ -153,7 +154,7 @@ def main() -> None:
             "sim_cosine_topk",
             "sim_ivf_topk",
             "text_quality",
-            "text_bpe_tokens",
+            "text_token_stats",
             "text_fingerprint",
             "multimodal_frames",
         ]:
