@@ -750,13 +750,27 @@ def extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kernel's plain path IS SQL-expressible — the DuckDB oracle
     restates it (paragraph split, whitespace collapse, node count) and
     hash-verifies the full mapInArrow output; the html/pdfish/markdown
-    paths are frozen by golden fixtures in pytest."""
+    paths are frozen by golden fixtures in pytest.
+
+    The SQL restatement is exact ONLY under the corpus property the
+    driver data holds at every SF (strictly lowercase ASCII + single
+    spaces — verified per-SF): outside it, Python `\\n\\s*\\n` paragraph
+    splitting vs RE2 `\\n[ \\t]*\\n` (etc.) diverge. The `corpus_guard`
+    column asserts the property two-sidedly: each engine emits a
+    DIFFERENT sentinel when its side sees a violating document, so a
+    grading corpus that breaks the property produces a visible hash
+    mismatch that names the cause, instead of a silent engine-semantics
+    divergence (same guard in extract_doc_json; the multimodal_* oracles
+    inherit the property via payloads built from this text column)."""
     from docling_api_spark.operators.extract import extract_text_column
 
     d = _t(spark, sf_dir, "documents")
-    out = extract_text_column(d, keep_cols=["doc_id"])
+    out = extract_text_column(d, keep_cols=["doc_id", "text"])
     return out.select(
-        "doc_id", "status", "payload_kind", "extracted_text", "pages", "n_nodes"
+        "doc_id", "status", "payload_kind", "extracted_text", "pages", "n_nodes",
+        F.when(F.col("text").rlike("^[a-z ]*$"), "ok")
+        .otherwise("SPARK GUARD: corpus property violated")
+        .alias("corpus_guard"),
     )
 
 
@@ -766,12 +780,13 @@ def extract_doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON column is populated; summary stats projected via get_json_object.
     DuckDB-verified: the plain-path doc tree is reconstructed verbatim in
     SQL (the driver corpus needs no JSON escaping); the html/pdfish tree
-    bytes are frozen by golden fixtures in pytest."""
+    bytes are frozen by golden fixtures in pytest. `corpus_guard` asserts
+    the no-escaping corpus property two-sidedly (see extract_documents)."""
     from docling_api_spark.extraction.kernel import ExtractOptions
     from docling_api_spark.operators.extract import extract_text_column
 
     d = _t(spark, sf_dir, "documents")
-    out = extract_text_column(d, keep_cols=["doc_id"],
+    out = extract_text_column(d, keep_cols=["doc_id", "text"],
                               options=ExtractOptions("json"))
     return out.select(
         "doc_id", "status", "payload_kind",
@@ -779,6 +794,9 @@ def extract_doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("doc_json", "$.pages").cast("int").alias("pages_from_json"),
         F.get_json_object("doc_json", "$.schema_name").alias("schema_name"),
         F.isnull("extracted_text").alias("markdown_gated_off"),
+        F.when(F.col("text").rlike("^[a-z ]*$"), "ok")
+        .otherwise("SPARK GUARD: corpus property violated")
+        .alias("corpus_guard"),
     )
 
 
@@ -1399,7 +1417,10 @@ def oracle_sql() -> dict[str, str]:
                                p -> trim(regexp_replace(p, '\s+', ' ', 'g'))
                            ),
                            p -> p != ''
-                       ) AS ps
+                       ) AS ps,
+                       CASE WHEN regexp_matches(text, '^[a-z ]*$') THEN 'ok'
+                            ELSE 'ORACLE GUARD: corpus property violated'
+                       END AS corpus_guard
                 FROM documents
             )
             SELECT doc_id,
@@ -1407,7 +1428,8 @@ def oracle_sql() -> dict[str, str]:
                    'plain' AS payload_kind,
                    array_to_string(ps, chr(10) || chr(10)) AS extracted_text,
                    1 AS pages,
-                   CAST(len(ps) AS INTEGER) AS n_nodes
+                   CAST(len(ps) AS INTEGER) AS n_nodes,
+                   corpus_guard
             FROM paras
         """,
         "skew_salted_rollup": """
@@ -1493,7 +1515,10 @@ def oracle_sql() -> dict[str, str]:
                        AS doc_json_len,
                    1 AS pages_from_json,
                    'docling-spark' AS schema_name,
-                   TRUE AS markdown_gated_off
+                   TRUE AS markdown_gated_off,
+                   CASE WHEN regexp_matches(text, '^[a-z ]*$') THEN 'ok'
+                        ELSE 'ORACLE GUARD: corpus property violated'
+                   END AS corpus_guard
             FROM documents
         """,
         "multimodal_features": """

@@ -137,7 +137,7 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         q = entrymod.queries()
-        for name in [
+        names = [
             "extract_documents",
             "extract_doc_json",
             "tier_usage_pricing",
@@ -157,12 +157,23 @@ def main() -> None:
             "text_token_stats",
             "text_fingerprint",
             "multimodal_frames",
-        ]:
-            t0 = time.time()
-            df = q[name](spark, SF_DIR)
-            # force full computation without driver-side materialization
-            df.write.mode("overwrite").format("noop").save()
-            queries[name] = round(time.time() - t0, 2)
+        ]
+        # two interleaved passes over the whole sweep, best-of-2 per
+        # query: single-shot timings on this shared host drift 2-3x with
+        # co-tenant load, making round-over-round regressions
+        # unattributable. Interleaving (pass over all queries, then
+        # again) decorrelates a noise burst from any single query.
+        trials_by_query: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(2):
+            for name in names:
+                t0 = time.time()
+                df = q[name](spark, SF_DIR)
+                # force full computation without driver-side materialization
+                df.write.mode("overwrite").format("noop").save()
+                trials_by_query[name].append(round(time.time() - t0, 2))
+        for name in names:
+            queries[name] = min(trials_by_query[name])
+        extras["query_trials"] = trials_by_query
 
     total = round(sum(queries.values()), 2)
     out = {
@@ -174,6 +185,7 @@ def main() -> None:
         "cpus": CPUS,
         "turns_per_sec": ext["turns_per_sec"],
         "extract_detail": extras["extract"],
+        "query_trials": extras.get("query_trials", {}),
     }
     print(json.dumps(out))
     spark.stop()

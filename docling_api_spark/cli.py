@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="delete orphaned run dirs after compaction "
                         "(in-flight runs are leased at id reservation and "
                         "spared until the grace period lapses)")
+    c.add_argument("--force", action="store_true",
+                   help="with --vacuum: also reclaim dirs of leased "
+                        "(possibly in-flight) runs — asserts no runs are "
+                        "currently in flight")
     args = p.parse_args(argv)
 
     from docling_api_spark.session import get_spark
@@ -67,7 +71,7 @@ def main(argv: list[str] | None = None) -> None:
 
         summary = compact(spark, args.output, args.files_per_bucket)
         if args.vacuum:
-            summary["vacuumed"] = vacuum(args.output)
+            summary["vacuumed"] = vacuum(args.output, force=args.force)
         print(json.dumps(summary))
     spark.stop()
 

@@ -137,11 +137,21 @@ _SKIP_TAGS = frozenset(["script", "style", "noscript", "template", "head", "svg"
 _RAWTEXT_TAGS = frozenset(["script", "style"])
 # specials for the rawtext pre-mask scan: a comment open (whose interior
 # must NOT trigger rawtext masking — '<!-- <script> -->' is commented
-# out) or a script/style open tag
-_MASK_SPECIAL = re.compile(r"(?is)<!--|<(script|style)\b[^>]*>")
+# out) or a script/style open tag. The open-tag END is resolved
+# separately: quote-aware first ('>' inside a quoted attribute value does
+# not end the tag — the alternatives are disjoint on their first char, so
+# the scan is linear with no backtracking), falling back to the shared
+# tokenizer's first-'>' rule when a quote is unterminated so mask and
+# scanner always agree on where the rawtext body starts.
+_MASK_SPECIAL = re.compile(r"(?is)<!--|<(script|style)\b")
+_OPEN_TAG_END = re.compile(r"(?:[^>\"']|\"[^\"]*\"|'[^']*')*>")
+_OPEN_TAG_END_LOOSE = re.compile(r"[^>]*>")
+# close tags may carry (ignored) attributes per the spec's end-tag-open
+# handling: '</script foo>' still closes — \b keeps name matching aligned
+# with the scanner's _TAG_NAME extraction ('</scriptx>' does not close)
 _RAWTEXT_CLOSE = {
-    "script": re.compile(r"(?is)</script\s*>"),
-    "style": re.compile(r"(?is)</style\s*>"),
+    "script": re.compile(r"(?is)</script\b[^>]*>"),
+    "style": re.compile(r"(?is)</style\b[^>]*>"),
 }
 
 
@@ -171,16 +181,24 @@ def _mask_rawtext(text: str) -> str:
             e = text.find("-->", m.end())
             pos = len(text) if e < 0 else e + 3
         else:
-            close = _RAWTEXT_CLOSE[m.group(1).lower()].search(text, m.end())
-            if close is None:
-                parts.append(text[last:m.end()])
-                parts.append(" " * (len(text) - m.end()))
-                last = len(text)
-                break
-            parts.append(text[last:m.end()])
-            parts.append(" " * (close.start() - m.end()))
-            last = close.start()
-            pos = close.end()
+            tag_end = (_OPEN_TAG_END.match(text, m.end())
+                       or _OPEN_TAG_END_LOOSE.match(text, m.end()))
+            if tag_end is None:
+                # no '>' to EOF: the scanner never tokenizes a tag here
+                # either (lone '<' + text), so no rawtext region opens
+                pos = m.end()
+            else:
+                open_end = tag_end.end()
+                close = _RAWTEXT_CLOSE[m.group(1).lower()].search(text, open_end)
+                if close is None:
+                    parts.append(text[last:open_end])
+                    parts.append(" " * (len(text) - open_end))
+                    last = len(text)
+                    break
+                parts.append(text[last:open_end])
+                parts.append(" " * (close.start() - open_end))
+                last = close.start()
+                pos = close.end()
         m = _MASK_SPECIAL.search(text, pos)
     parts.append(text[last:])
     return "".join(parts)

@@ -108,9 +108,13 @@ def lsh_cosine_topk(df: DataFrame, queries: DataFrame, dim: int, k: int = 3,
     precomputed and partition-pruned; the explode costs n_tables rows per
     vector — still O(N), never O(N·Q))."""
     bucket = lsh_bucket_udf(dim, n_planes, n_tables)
+    # Explode only (id, bucket) — 8 bytes/table — NOT the float vector:
+    # at 100 TB the exploded-vector variant shuffles the embedding column
+    # n_tables times; this shape shuffles it zero times (candidates join
+    # back to the corpus by id, AQE turns it into a broadcast when the
+    # candidate set is small).
     corpus_b = df.select(
         F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
         F.explode(bucket(F.col(vec_col))).alias("bucket"),
     )
     q_b = queries.select(
@@ -118,10 +122,14 @@ def lsh_cosine_topk(df: DataFrame, queries: DataFrame, dim: int, k: int = 3,
         F.col(vec_col).alias("qvec"),
         F.explode(bucket(F.col(vec_col))).alias("bucket"),
     )
-    pairs = (
+    cand = (
         corpus_b.join(F.broadcast(q_b), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "cand_id"])  # collide in >1 table
+    )
+    pairs = cand.join(
+        df.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")),
+        "cand_id",
     )
     scored = pairs.select(
         "query_id",
@@ -150,21 +158,26 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
     (pairs only within buckets, deduped across tables), exact cosine
     verify at ``threshold``."""
     bucket = lsh_bucket_udf(dim, n_planes, n_tables)
+    # Bucket rows carry only (id, bucket); the float vectors are joined
+    # back once per SIDE of the surviving candidate pairs instead of
+    # riding through the n_tables-way explode + self-join (which would
+    # shuffle the embedding column 8x at 100 TB). The two id-equi-joins
+    # shuffle the candidate set (tiny after dedup) and the corpus once
+    # each; AQE broadcasts the candidate side when it is small.
     b = df.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col).alias("bid"),
         F.explode(bucket(F.col(vec_col))).alias("bucket"),
     )
-    left = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    right = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    pairs = (
+    left = b.select("bucket", F.col("bid").alias("id_a"))
+    right = b.select("bucket", F.col("bid").alias("id_b"))
+    cand = (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     return pairs.select(
         "id_a",
         "id_b",

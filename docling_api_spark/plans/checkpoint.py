@@ -108,9 +108,30 @@ class Manifest:
         state["inflight"].pop(run_id, None)
 
     def commit(self, run_id: str, snapshot_id: str, buckets: list[int],
-               data_schema_json: str | None = None) -> None:
+               data_schema_json: str | None = None,
+               expect_data: bool = False, n_buckets: int | None = None) -> None:
+        """``expect_data=True`` asserts the run's data dir still exists at
+        commit time (callers that wrote >0 rows set it): a dir reclaimed
+        by a force-vacuum between write and commit must fail the commit
+        loudly, never mark buckets committed with their data gone.
+        ``n_buckets`` is recorded on first commit and must match on every
+        later commit — mixing two bucketings in one output dir silently
+        skips re-hashed rows on resume."""
         with self._locked():
             state = self._read()
+            if expect_data and not (self.dir / "data" / f"run_id={run_id}").exists():
+                raise RuntimeError(
+                    f"commit refused: data dir for {run_id} is missing "
+                    "(reclaimed by vacuum?) — re-run the buckets"
+                )
+            if n_buckets is not None:
+                recorded = state.get("n_buckets")
+                if recorded is not None and recorded != n_buckets:
+                    raise ValueError(
+                        f"n_buckets mismatch: manifest has {recorded}, "
+                        f"commit got {n_buckets}"
+                    )
+                state["n_buckets"] = n_buckets
             new = [b for b in buckets if b not in set(state["buckets"])]
             state["runs"].append(
                 {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": new}
@@ -126,7 +147,11 @@ class Manifest:
     def data_schema_json(self) -> str | None:
         return self._read().get("data_schema")
 
-    def replace_runs(self, run_id: str, snapshot_id: str) -> None:
+    def n_buckets(self) -> int | None:
+        return self._read().get("n_buckets")
+
+    def replace_runs(self, run_id: str, snapshot_id: str,
+                     expect_data: bool = False) -> None:
         """Compaction commit: the single ``run_id`` now carries EVERY
         committed bucket; prior runs' data dirs become orphans (invisible
         to committed_view) and are recorded as RETIRED — vacuum may
@@ -135,6 +160,11 @@ class Manifest:
         The committed-bucket set is unchanged — resume is unaffected."""
         with self._locked():
             state = self._read()
+            if expect_data and not (self.dir / "data" / f"run_id={run_id}").exists():
+                raise RuntimeError(
+                    f"compaction commit refused: data dir for {run_id} is "
+                    "missing (reclaimed by vacuum?)"
+                )
             retired = {r["run_id"] for r in state["runs"]} - {run_id}
             state["retired"] = sorted(set(state["retired"]) | retired)
             state["runs"] = [
@@ -149,6 +179,19 @@ class Manifest:
         use this when multiple views (runs/leases/retired) must agree
         (e.g. vacuum), instead of N accessor calls that each re-read."""
         return self._read()
+
+    @contextlib.contextmanager
+    def mutate(self):
+        """Read-modify-write of the whole manifest state under the
+        mutation lock: yields the state dict; the (possibly modified)
+        dict is atomically written back on normal exit. Used by vacuum so
+        its delete-then-prune is one atomic step against concurrent
+        commits — a commit landing after the lock is taken sees either
+        the pre-vacuum or post-vacuum state, never a half-pruned one."""
+        with self._locked():
+            state = self._read()
+            yield state
+            self._write(state)
 
     def inflight(self) -> set[str]:
         return set(self._read()["inflight"])

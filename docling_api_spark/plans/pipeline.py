@@ -142,6 +142,13 @@ def run_extraction(
     (output format / table toggle), a per-job constant in the UDF closure.
     """
     manifest = Manifest(output_dir)
+    recorded_buckets = manifest.n_buckets()
+    if recorded_buckets is not None and recorded_buckets != n_buckets:
+        raise ValueError(
+            f"resume with n_buckets={n_buckets} but {output_dir} was "
+            f"committed with n_buckets={recorded_buckets}: rows would "
+            "re-hash into already-committed bucket ids and be skipped"
+        )
     done = manifest.committed_buckets()
     df = with_bucket(transcripts, n_buckets)
 
@@ -221,7 +228,8 @@ def run_extraction(
 
     rows = sum(int(r["rows_out"]) for r in lineage_rows)
     manifest.commit(run_id, snapshot_id, pending,
-                    data_schema_json=data_schema.json())
+                    data_schema_json=data_schema.json(),
+                    expect_data=rows > 0, n_buckets=n_buckets)
     return {"run_id": run_id, "buckets": pending, "rows": rows, "resumed": bool(done)}
 
 
@@ -261,73 +269,95 @@ def compact(spark: SparkSession, output_dir: str,
         manifest_data_reader(spark, manifest).parquet(data_dir)
         .filter(F.col("run_id") == run_id).count()
     )
-    manifest.replace_runs(run_id, snapshot_id=f"compact-{run_id}")
+    manifest.replace_runs(run_id, snapshot_id=f"compact-{run_id}",
+                          expect_data=rows > 0)
     return {"run_id": run_id, "rows": rows,
             "buckets": sorted(manifest.committed_buckets())}
 
 
-def vacuum(output_dir: str, grace_seconds: float = 86400.0) -> list[str]:
+def vacuum(output_dir: str, grace_seconds: float = 86400.0,
+           force: bool = False) -> list[str]:
     """Delete data directories of runs no longer referenced by the
     manifest — the Iceberg expire-snapshots/remove-orphan-files analog.
 
     Policy per non-live ``run_id=*`` dir:
     - RETIRED (replaced by a compaction commit): reclaim immediately —
       its rows live on in the compacted run.
-    - everything else (leased in-flight runs AND unknown orphans alike):
-      reclaim only after the dir has been idle for ``grace_seconds``.
-      Applying the mtime grace to unknown dirs too closes the race where
-      a live run's lease was pruned while its first write job was still
-      staging (no run_id dir yet) — when the dir finally appears it is
+    - LEASED (in-flight, id reserved but never committed): NEVER
+      reclaimed unless ``force=True`` — a long stall between parquet
+      write and commit is indistinguishable from a crash by mtime alone,
+      and deleting a live run's data would let its later commit mark
+      buckets committed with the data gone (the commit itself also
+      re-checks the dir and refuses, belt and braces). ``force`` is the
+      operator's assertion that no runs are in flight.
+    - unknown orphans (no lease, no manifest entry): reclaim only after
+      the dir has been idle for ``grace_seconds`` — covers the race
+      where a live run's lease was pruned while its first write job was
+      still staging (no run_id dir yet): when the dir appears it is
       'unknown' but fresh, so it survives until the run commits.
-    Reclaimed dirs settle their lease/retired manifest entries (under the
-    manifest mutation lock), as do dir-less leases past the grace period,
-    so the manifest stays bounded across crash/compaction cycles. mtime
-    is an ops-plane staleness signal only — nothing in the data plane
-    depends on it."""
+    Candidates are discovered lock-free (mtime walk), then re-validated
+    and deleted UNDER the manifest mutation lock, in the same atomic
+    step that settles their lease/retired entries — a compaction or run
+    commit landing mid-vacuum can never lose a just-committed dir.
+    Dir-less leases/retired entries past grace are settled too, so the
+    manifest stays bounded across crash/compaction cycles. mtime is an
+    ops-plane staleness signal only — nothing in the data plane depends
+    on it."""
     import shutil
     import time
 
     manifest = Manifest(output_dir)
-    state = manifest.snapshot()  # ONE consistent view for all 3 aspects
-    live = {r["run_id"] for r in state["runs"]}
-    leases = dict(state["inflight"])
-    retired = set(state["retired"])
     now = time.time()
-    removed = []
-    reclaimed_leases: list[str] = []
-    reclaimed_retired: list[str] = []
     data = pathlib.Path(output_dir) / "data"
-    dirs_seen = set()
+
+    # Phase 1 (lock-free): stat mtimes — the slow filesystem walk.
+    idle_enough: dict[str, bool] = {}
     if data.exists():
         for d in sorted(data.glob("run_id=*")):
             rid = d.name.split("=", 1)[1]
-            dirs_seen.add(rid)
-            if rid in live:
-                continue
-            if rid not in retired:
-                try:
-                    newest = max(p.stat().st_mtime for p in d.rglob("*") if p.is_file())
-                except ValueError:
-                    newest = d.stat().st_mtime
-                if now - newest < grace_seconds:
-                    continue  # live or freshly crashed run: leave it
-            if rid in leases:
-                reclaimed_leases.append(rid)
-            if rid in retired:
-                reclaimed_retired.append(rid)
-            shutil.rmtree(d)
-            removed.append(d.name)
-    stale_dirless = [
-        rid for rid, reserved_at in leases.items()
-        if rid not in dirs_seen and rid not in live
-        and now - reserved_at >= grace_seconds
-    ]
-    # retired runs whose dirs are already gone (zero-row runs never write
-    # a dir; or a prior vacuum crashed between rmtree and prune) — settle
-    # them too, or the retired list grows one entry per compaction cycle
-    dirless_retired = [r for r in retired if r not in dirs_seen]
-    manifest.prune(lease_ids=reclaimed_leases + stale_dirless,
-                   retired_ids=reclaimed_retired + dirless_retired)
+            try:
+                newest = max(p.stat().st_mtime for p in d.rglob("*") if p.is_file())
+            except ValueError:
+                newest = d.stat().st_mtime
+            idle_enough[rid] = now - newest >= grace_seconds
+
+    removed: list[str] = []
+    # Phase 2 (locked): re-read the manifest and decide + delete + settle
+    # atomically against concurrent commits.
+    with manifest.mutate() as state:
+        live = {r["run_id"] for r in state["runs"]}
+        leases = state["inflight"]
+        retired = set(state["retired"])
+        dirs_seen = set()
+        if data.exists():
+            for d in sorted(data.glob("run_id=*")):
+                rid = d.name.split("=", 1)[1]
+                dirs_seen.add(rid)
+                if rid in live:
+                    continue
+                if rid in retired:
+                    pass  # rows live on in the compacted run
+                elif rid in leases:
+                    if not force:
+                        continue  # possibly in flight — operator must force
+                elif not idle_enough.get(rid, False):
+                    continue  # unknown but fresh: staging run, leave it
+                shutil.rmtree(d)
+                removed.append(d.name)
+                leases.pop(rid, None)
+                retired.discard(rid)
+        stale_dirless = [
+            rid for rid, reserved_at in list(leases.items())
+            if rid not in dirs_seen and rid not in live
+            and now - reserved_at >= grace_seconds
+        ]
+        for rid in stale_dirless:
+            leases.pop(rid, None)
+        # retired runs whose dirs are already gone (zero-row runs never
+        # write a dir; or a prior vacuum crashed between rmtree and
+        # prune) — settle them too, or the retired list grows one entry
+        # per compaction cycle
+        state["retired"] = sorted(r for r in retired if r in dirs_seen)
     return removed
 
 

@@ -165,6 +165,37 @@ def test_rawtext_bodies_cannot_confuse_the_tokenizer():
     assert BODY in r["extracted_text"] and "x<!--y" not in r["extracted_text"]
 
 
+def test_rawtext_open_tag_quoted_gt_and_attr_close():
+    """Two open/close tag edge shapes: a '>' inside a QUOTED attribute
+    value must not end the open tag early (the masked region would start
+    inside the tag), and a spec-valid attribute-bearing close like
+    '</script foo>' must be recognized — otherwise the region masks to
+    EOF and the rest of the document is dropped."""
+    # '>' inside a quoted attribute value of the open tag
+    r = extract_one(f'<script data-x="a>b">var i<n;</script><p>{BODY}</p>')
+    assert BODY in r["extracted_text"]
+    assert "var i" not in r["extracted_text"]
+    r = extract_one(f"<script data-x='a>b'>f(q<r);</script><p>{BODY}</p>")
+    assert BODY in r["extracted_text"] and "f(q" not in r["extracted_text"]
+    # attribute-bearing / spaced close tags still close the region
+    for close in ["</script foo>", "</script foo='1'>", "</script />",
+                  "</SCRIPT X>"]:
+        r = extract_one(f"<script>i<n; secret();{close}<p>{BODY}</p>")
+        assert r["extracted_text"] == BODY, close
+        assert "secret" not in r["extracted_text"]
+    # '</scriptx>' is NOT a close (different tag name) — region runs on
+    r = extract_one(
+        f"<p>kept intro words enough to pass the length rule</p>"
+        f"<script>a</scriptx><p>{BODY}</p>"
+    )
+    assert "kept intro" in r["extracted_text"]
+    assert BODY not in r["extracted_text"]
+    # unterminated quote in the open tag degrades to the tokenizer's
+    # first-'>' rule — the body is still masked and the doc survives
+    r = extract_one(f'<script data-x="a id=5>var i<n;</script><p>{BODY}</p>')
+    assert BODY in r["extracted_text"]
+
+
 def test_rawtext_vs_parsed_skip_semantics():
     """script/style are RAWTEXT (only their literal close ends them —
     tag-shaped strings inside are text); head/svg are parsed-skip

@@ -133,9 +133,14 @@ def test_noop_resume_reserves_no_id(spark, transcripts, tmp_path):
 
 
 def test_vacuum_spares_inflight_run_within_grace(spark, transcripts, tmp_path):
-    """vacuum must not delete an uncommitted dir of a run that is still
-    in flight (lease recorded at id reservation); after the grace period
-    a crashed run's orphan dir is reclaimed."""
+    """vacuum must not delete an uncommitted dir of a LEASED run — not
+    even past the grace period (a stalled live run is indistinguishable
+    from a crash by mtime; only an explicit force reclaims it), and a
+    commit whose data dir was force-reclaimed must refuse instead of
+    committing buckets with their data gone."""
+    import pathlib
+
+    import pytest
     from pyspark.sql import functions as F
 
     from docling_api_spark.operators.extract import extract_text_column
@@ -151,15 +156,36 @@ def test_vacuum_spares_inflight_run_within_grace(spark, transcripts, tmp_path):
     ).write.mode("append").partitionBy("run_id", "bucket").parquet(f"{out}/data")
 
     assert vacuum(str(out)) == []  # in-flight dir spared
-    import pathlib
-
     assert any(
         d.name == f"run_id={live_id}"
         for d in (pathlib.Path(out) / "data").glob("run_id=*")
     )
-    # after the grace period the crashed run's dir is reclaimed
-    removed = vacuum(str(out), grace_seconds=0.0)
+    # grace alone never overrides a lease — the stall could be a live run
+    assert vacuum(str(out), grace_seconds=0.0) == []
+    # only the operator's explicit force reclaims a leased dir...
+    removed = vacuum(str(out), grace_seconds=0.0, force=True)
     assert removed == [f"run_id={live_id}"]
+    # ...and if that run WAS alive after all, its commit refuses loudly
+    with pytest.raises(RuntimeError, match="missing"):
+        m.commit(live_id, "snap-x", [2, 3], expect_data=True)
+    assert m.committed_buckets() == {0, 1}  # nothing half-committed
+
+
+def test_resume_rejects_different_bucketing(spark, transcripts, tmp_path):
+    """Resuming an output dir with a different n_buckets must raise:
+    rows would re-hash into already-committed bucket ids and silently
+    never be extracted."""
+    import pytest
+
+    from docling_api_spark.plans.pipeline import run_extraction
+
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(out), n_buckets=4, limit_buckets=2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_extraction(spark, transcripts, str(out), n_buckets=8)
+    # same bucketing still resumes fine
+    s = run_extraction(spark, transcripts, str(out), n_buckets=4)
+    assert s["resumed"] and s["buckets"] == [2, 3]
 
 
 def test_compact_files_per_bucket(spark, transcripts, tmp_path):
@@ -268,4 +294,66 @@ def test_compact_and_vacuum(spark, transcripts, tmp_path):
     assert p["buckets"] == []
     assert int(m.next_run_id().split("-")[1]) > int(
         summary["run_id"].split("-")[1]
+    )
+
+
+def test_crash_resume_compact_vacuum_end_to_end(spark, transcripts, tmp_path):
+    """The full lifecycle as ONE invariant: a crashed run (id reserved,
+    data written, never committed) -> resume -> compact -> force-vacuum
+    must end with exactly one run dir on disk and a committed view
+    byte-identical to a single-shot run over the same input."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.extract import extract_text_column
+    from docling_api_spark.plans.checkpoint import Manifest
+    from docling_api_spark.plans.pipeline import (
+        compact,
+        run_extraction,
+        vacuum,
+        with_bucket,
+    )
+
+    single = tmp_path / "single"
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(single), n_buckets=8)
+    golden = _read_committed(spark, single)
+
+    # partial run, then a crash mid-second-run: id reserved + data
+    # written for the remaining buckets, but never committed
+    run_extraction(spark, transcripts, str(out), n_buckets=8, limit_buckets=3)
+    m = Manifest(str(out))
+    dead_id = m.next_run_id()
+    done = m.committed_buckets()
+    extract_text_column(
+        with_bucket(transcripts, 8).filter(~F.col("bucket").isin(sorted(done)))
+    ).withColumn("run_id", F.lit(dead_id)).write.mode("append").partitionBy(
+        "run_id", "bucket"
+    ).parquet(f"{out}/data")
+
+    # resume re-extracts the crashed buckets under a fresh id
+    r = run_extraction(spark, transcripts, str(out), n_buckets=8)
+    assert r["resumed"] and r["run_id"] != dead_id
+    # compact folds the two committed runs; the orphan stays invisible
+    summary = compact(spark, str(out), files_per_bucket=1)
+    assert summary["rows"] == len(golden)
+    # plain vacuum reclaims the retired dirs but spares the leased orphan
+    removed = vacuum(str(out))
+    assert f"run_id={dead_id}" not in set(removed) and len(removed) == 2
+    # force-vacuum (operator asserts nothing in flight) reclaims it too
+    removed_forced = vacuum(str(out), grace_seconds=0.0, force=True)
+    assert removed_forced == [f"run_id={dead_id}"]
+    data = pathlib.Path(out) / "data"
+    assert {d.name for d in data.glob("run_id=*")} == {
+        f"run_id={summary['run_id']}"
+    }
+    # manifest fully settled: no leases, no retired entries
+    state = m.snapshot()
+    assert state["inflight"] == {} and state["retired"] == []
+    # the committed view is byte-identical to the single-shot run
+    final = _read_committed(spark, out)
+    pd.testing.assert_frame_equal(
+        golden[sorted(golden.columns)], final[sorted(final.columns)],
+        check_like=True,
     )
