@@ -194,11 +194,35 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")
-    return pairs.select(
-        "id_a",
-        "id_b",
-        _np_cosine(F.col("va"), F.col("vb")).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    # Score + threshold fused in ONE mapInPandas stage: a plain
+    # `select(udf).filter(col)` evaluates the scalar UDF twice (Spark
+    # extracts one ArrowEvalPython for the pushed filter and another for
+    # the projection), doubling the Arrow transfer of the vector pairs.
+    # Fusing also means only the surviving pairs ever leave Python.
+    out_schema = T.StructType([
+        pairs.schema["id_a"],
+        pairs.schema["id_b"],
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            b = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            dot = np.einsum("ij,ij->i", a, b)
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            cos = np.round(dot / np.maximum(na * nb, 1e-12), 6)
+            keep = cos >= threshold
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"][keep],
+                "id_b": pdf["id_b"][keep],
+                "cosine": cos[keep],
+            })
+
+    return pairs.mapInPandas(verify, out_schema)
 
 
 def _centroids(df: DataFrame, dim: int, n_centroids: int,
