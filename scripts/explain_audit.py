@@ -82,6 +82,22 @@ CHECKS = {
                 "bucket join; pair expansion only inside buckets (chain for "
                 "oversized ones) — never an all-pairs product",
     },
+    "skew_salted_rollup": {
+        "must": ["BroadcastHashJoin LeftOuter", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+        "note": "two-pass skew shuffle: the (tiny) heavy-key set broadcasts "
+                "into the salting join; the per-(conv, block) partial agg and "
+                "the final per-conv agg are both hash aggregates — no single "
+                "reducer ever materializes a whole heavy conversation",
+    },
+    "dedup_embedding_lsh": {
+        "must": ["Generate", "MapInPandas", "ReusedExchange"],
+        "must_not": ["CartesianProduct"],
+        "note": "the 8-table explode carries only (id, bucket) — the float "
+                "vectors join back by id AFTER candidate dedup (the vb side "
+                "reuses the va exchange: one corpus vector scan); score + "
+                "threshold are fused in a single mapInPandas verify stage",
+    },
 }
 
 
