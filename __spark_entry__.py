@@ -768,7 +768,7 @@ def extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = extract_text_column(d, keep_cols=["doc_id", "text"])
     return out.select(
         "doc_id", "status", "payload_kind", "extracted_text", "pages", "n_nodes",
-        F.when(F.col("text").rlike("^[a-z ]*$"), "ok")
+        F.when(F.col("text").rlike(r"\A[a-z ]*\z"), "ok")
         .otherwise("SPARK GUARD: corpus property violated")
         .alias("corpus_guard"),
     )
@@ -794,7 +794,7 @@ def extract_doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("doc_json", "$.pages").cast("int").alias("pages_from_json"),
         F.get_json_object("doc_json", "$.schema_name").alias("schema_name"),
         F.isnull("extracted_text").alias("markdown_gated_off"),
-        F.when(F.col("text").rlike("^[a-z ]*$"), "ok")
+        F.when(F.col("text").rlike(r"\A[a-z ]*\z"), "ok")
         .otherwise("SPARK GUARD: corpus property violated")
         .alias("corpus_guard"),
     )
@@ -1418,7 +1418,7 @@ def oracle_sql() -> dict[str, str]:
                            ),
                            p -> p != ''
                        ) AS ps,
-                       CASE WHEN regexp_matches(text, '^[a-z ]*$') THEN 'ok'
+                       CASE WHEN regexp_matches(text, '\A[a-z ]*\z') THEN 'ok'
                             ELSE 'ORACLE GUARD: corpus property violated'
                        END AS corpus_guard
                 FROM documents
@@ -1516,7 +1516,7 @@ def oracle_sql() -> dict[str, str]:
                    1 AS pages_from_json,
                    'docling-spark' AS schema_name,
                    TRUE AS markdown_gated_off,
-                   CASE WHEN regexp_matches(text, '^[a-z ]*$') THEN 'ok'
+                   CASE WHEN regexp_matches(text, '\A[a-z ]*\z') THEN 'ok'
                         ELSE 'ORACLE GUARD: corpus property violated'
                    END AS corpus_guard
             FROM documents

@@ -203,22 +203,22 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     keepers = hashed.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
     # The prefilter subtree (scan -> sha2 over full text -> groupBy ->
     # join) feeds FOUR consumers downstream: exact_pairs, the minhash
-    # signature, and both sides of jaccard_verify. Persist it once so the
-    # full-corpus scan+hash+shuffle runs a single time instead of 3-4x
-    # (measured 5x end-to-end at sf0.1; at 100 TB each recompute is an
-    # extra full-corpus pass). MEMORY_AND_DISK (the persist() default)
-    # spills rather than OOMs when the corpus exceeds executor memory.
+    # signature, and both sides of jaccard_verify. Materialize it once
+    # (eager localCheckpoint) so the full-corpus scan+hash+shuffle runs a
+    # single time instead of 3-4x (measured 5x end-to-end at sf0.1; at
+    # 100 TB each recompute is an extra full-corpus pass). Eagerness also
+    # matters on its own: AQE submits the consumers' stages concurrently
+    # and a lazily-shared node races — each branch recomputes the parent
+    # before any finishes populating it. localCheckpoint over persist():
+    # the checkpoint block store is released when the DataFrame is
+    # garbage-collected (ContextCleaner), whereas a persist() pins a
+    # CacheManager entry for the life of the session (and plan-matches
+    # later identical queries, contaminating benchmarks with cache hits).
     withk = (
         hashed.join(keepers, "_h")  # shuffle key is the 32-byte hash
         .select(id_col, text_col, "_keeper")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    # Materialize eagerly: the consumers' stages are submitted
-    # concurrently (AQE), and a lazily-persisted node races — each branch
-    # recomputes the parent before any finishes populating the cache.
-    # One count() forces a single materializing pass (measured 10.3s ->
-    # ~2s for the whole query at sf0.1, identical output).
-    withk.count()
     exact_pairs = (
         withk.filter(F.col(id_col) != F.col("_keeper"))
         .select(

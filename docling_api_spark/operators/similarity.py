@@ -31,24 +31,30 @@ def _norm(a):
     )
 
 
-@F.pandas_udf(T.DoubleType())
-def _np_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
-    """Vectorized cosine for the ANN candidate-verify stages: one numpy
-    einsum per Arrow batch instead of the interpreted higher-order
-    aggregate (~2x end-to-end on a 255k-pair verify). Rounded with
-    numpy's round-half-even — the same semantics as the pure-Python
-    ``round(x, 6)`` the pytest soundness oracles assert against. The
-    DuckDB-hash-verified exact paths (cosine_topk, the O(N^2) near-dup
-    baseline) keep the JVM-side expression with HALF_UP rounding to stay
-    bit-identical with the SQL oracle."""
-    if len(va) == 0:
-        return pd.Series([], dtype="float64")
+def _cosine_batch(va, vb) -> np.ndarray:
+    """Batched cosine, rounded to 6 places with numpy's round-half-even —
+    the same semantics as the pure-Python ``round(x, 6)`` the pytest
+    soundness oracles assert against. Shared by every ANN verify stage so
+    the clamp/rounding definition exists exactly once. The DuckDB-hash-
+    verified exact paths (cosine_topk, the O(N^2) near-dup baseline) keep
+    the JVM-side expression with HALF_UP rounding to stay bit-identical
+    with the SQL oracle."""
     a = np.vstack([np.asarray(v, dtype=np.float64) for v in va])
     b = np.vstack([np.asarray(v, dtype=np.float64) for v in vb])
     dot = np.einsum("ij,ij->i", a, b)
     na = np.linalg.norm(a, axis=1)
     nb = np.linalg.norm(b, axis=1)
-    return pd.Series(np.round(dot / np.maximum(na * nb, 1e-12), 6))
+    return np.round(dot / np.maximum(na * nb, 1e-12), 6)
+
+
+@F.pandas_udf(T.DoubleType())
+def _np_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Vectorized cosine for the ANN candidate-verify stages: one numpy
+    einsum per Arrow batch instead of the interpreted higher-order
+    aggregate (~2x end-to-end on a 255k-pair verify)."""
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    return pd.Series(_cosine_batch(va, vb))
 
 
 def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 3,
@@ -209,12 +215,7 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
-            b = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-            dot = np.einsum("ij,ij->i", a, b)
-            na = np.linalg.norm(a, axis=1)
-            nb = np.linalg.norm(b, axis=1)
-            cos = np.round(dot / np.maximum(na * nb, 1e-12), 6)
+            cos = _cosine_batch(pdf["va"], pdf["vb"])
             keep = cos >= threshold
             yield pd.DataFrame({
                 "id_a": pdf["id_a"][keep],

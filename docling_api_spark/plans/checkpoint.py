@@ -202,22 +202,6 @@ class Manifest:
     def retired(self) -> set[str]:
         return set(self._read()["retired"])
 
-    def prune(self, lease_ids=(), retired_ids=()) -> None:
-        """Drop reclaimed leases / retired entries (called by vacuum
-        after it removes the corresponding dirs) so the manifest cannot
-        grow without bound across crash/compaction cycles. Runs under the
-        mutation lock — never clobbers a concurrent commit."""
-        lease_ids, retired_ids = set(lease_ids), set(retired_ids)
-        if not lease_ids and not retired_ids:
-            return
-        with self._locked():
-            state = self._read()
-            state["inflight"] = {k: v for k, v in state["inflight"].items()
-                                 if k not in lease_ids}
-            state["retired"] = [r for r in state["retired"]
-                                if r not in retired_ids]
-            self._write(state)
-
     def runs(self) -> list[dict]:
         return self._read()["runs"]
 

@@ -295,10 +295,16 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
       where a live run's lease was pruned while its first write job was
       still staging (no run_id dir yet): when the dir appears it is
       'unknown' but fresh, so it survives until the run commits.
-    Candidates are discovered lock-free (mtime walk), then re-validated
-    and deleted UNDER the manifest mutation lock, in the same atomic
-    step that settles their lease/retired entries — a compaction or run
-    commit landing mid-vacuum can never lose a just-committed dir.
+    The slow work stays outside the manifest lock: the phase-1 mtime
+    walk stats ONLY dirs a lock-free snapshot cannot classify (unknown
+    orphans — live/retired/leased dirs may hold the whole dataset and
+    never need their grace computed), and phase 2, under the lock,
+    re-validates each candidate then atomically RENAMES it into
+    ``.trash/`` in the same step that settles its lease/retired entry —
+    so a commit() racing the vacuum either sees the dir (and commits) or
+    sees it gone (and refuses), while the recursive delete of the
+    renamed dirs runs after the lock is released (a crash in between
+    leaves unreferenced trash that the next vacuum clears first).
     Dir-less leases/retired entries past grace are settled too, so the
     manifest stays bounded across crash/compaction cycles. mtime is an
     ops-plane staleness signal only — nothing in the data plane depends
@@ -308,13 +314,26 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
 
     manifest = Manifest(output_dir)
     now = time.time()
-    data = pathlib.Path(output_dir) / "data"
+    out_root = pathlib.Path(output_dir)
+    data = out_root / "data"
+    trash_root = out_root / ".trash"
 
-    # Phase 1 (lock-free): stat mtimes — the slow filesystem walk.
+    # Phase 0 (lock-free): clear leftovers of a vacuum that crashed
+    # between rename and delete — trash is never referenced by anything.
+    if trash_root.exists():
+        for t in trash_root.iterdir():
+            shutil.rmtree(t, ignore_errors=True)
+
+    # Phase 1 (lock-free): stat mtimes of UNKNOWN dirs only.
+    snap = manifest.snapshot()
+    classified = ({r["run_id"] for r in snap["runs"]}
+                  | set(snap["retired"]) | set(snap["inflight"]))
     idle_enough: dict[str, bool] = {}
     if data.exists():
         for d in sorted(data.glob("run_id=*")):
             rid = d.name.split("=", 1)[1]
+            if rid in classified:
+                continue  # grace is never consulted for these in phase 2
             try:
                 newest = max(p.stat().st_mtime for p in d.rglob("*") if p.is_file())
             except ValueError:
@@ -322,8 +341,10 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
             idle_enough[rid] = now - newest >= grace_seconds
 
     removed: list[str] = []
-    # Phase 2 (locked): re-read the manifest and decide + delete + settle
-    # atomically against concurrent commits.
+    to_delete: list[pathlib.Path] = []
+    # Phase 2 (locked): re-read the manifest, decide, and rename + settle
+    # atomically against concurrent commits (rename is O(1); the
+    # recursive delete happens after the lock is released).
     with manifest.mutate() as state:
         live = {r["run_id"] for r in state["runs"]}
         leases = state["inflight"]
@@ -341,8 +362,12 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
                     if not force:
                         continue  # possibly in flight — operator must force
                 elif not idle_enough.get(rid, False):
-                    continue  # unknown but fresh: staging run, leave it
-                shutil.rmtree(d)
+                    continue  # unknown but fresh (or re-classified since
+                    # the lock-free snapshot): leave it for the next pass
+                trash_root.mkdir(exist_ok=True)
+                target = trash_root / f"{d.name}-{len(to_delete)}"
+                d.rename(target)
+                to_delete.append(target)
                 removed.append(d.name)
                 leases.pop(rid, None)
                 retired.discard(rid)
@@ -354,10 +379,15 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
         for rid in stale_dirless:
             leases.pop(rid, None)
         # retired runs whose dirs are already gone (zero-row runs never
-        # write a dir; or a prior vacuum crashed between rmtree and
-        # prune) — settle them too, or the retired list grows one entry
-        # per compaction cycle
+        # write a dir; or a prior vacuum crashed before its delete) —
+        # settle them too, or the retired list grows one entry per
+        # compaction cycle
         state["retired"] = sorted(r for r in retired if r in dirs_seen)
+    # Phase 3 (lock-free): the slow recursive deletes.
+    for t in to_delete:
+        shutil.rmtree(t, ignore_errors=True)
+    if trash_root.exists() and not any(trash_root.iterdir()):
+        trash_root.rmdir()
     return removed
 
 
