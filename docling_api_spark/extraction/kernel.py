@@ -119,7 +119,6 @@ _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _BASE64_RE = re.compile(r"[A-Za-z0-9+/]+={0,2}")
 _MD_MARKER = re.compile(r"^(#{1,6} |```|[-*] |\d+\. )", re.MULTILINE)
 _HTML_HINT = re.compile(r"<[a-zA-Z!/]")
-_WS_RE = re.compile(r"\s+")
 _BLANK_RE = re.compile(r"\n\s*\n")
 
 _HEADING_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}

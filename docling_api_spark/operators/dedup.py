@@ -214,6 +214,13 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     # garbage-collected (ContextCleaner), whereas a persist() pins a
     # CacheManager entry for the life of the session (and plan-matches
     # later identical queries, contaminating benchmarks with cache hits).
+    # Known tradeoff: localCheckpoint truncates lineage, so losing an
+    # executor mid-query fails THIS query instead of transparently
+    # recomputing (persist would recover) — the operator is deterministic
+    # and a rerun is cheap relative to 3-4 guaranteed extra corpus
+    # passes; a deployment preferring in-query recovery over worst-case
+    # cost should swap in reliable checkpoint(): same plan shape, blocks
+    # on the cluster's checkpoint dir.
     withk = (
         hashed.join(keepers, "_h")  # shuffle key is the 32-byte hash
         .select(id_col, text_col, "_keeper")

@@ -38,6 +38,9 @@ from docling_api_spark.plans.checkpoint import Manifest, committed_view
 
 DEFAULT_BUCKETS = 64
 SALT_BLOCK = 4096  # turns per salt block; >max Arrow batch, < skew threshold
+# minimum age before a .trash subdir left by another vacuum is reclaimed
+# (a younger one may belong to a vacuum still renaming into it)
+_TRASH_MIN_AGE = 3600.0  # seconds
 
 
 def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
@@ -303,12 +306,20 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
     ``.trash/`` in the same step that settles its lease/retired entry —
     so a commit() racing the vacuum either sees the dir (and commits) or
     sees it gone (and refuses), while the recursive delete of the
-    renamed dirs runs after the lock is released (a crash in between
-    leaves unreferenced trash that the next vacuum clears first).
+    renamed dirs runs after the lock is released.
+    Physical deletion is best-effort and retryable: each vacuum
+    invocation renames into its OWN ``.trash/vac-<pid>-<ns>/`` subdir
+    (no name collisions with leftovers or a concurrent vacuum), and
+    phase 0 clears only trash subdirs older than ``_TRASH_MIN_AGE`` —
+    young subdirs may belong to a vacuum still running. The returned
+    list reports dirs reclaimed from the data layout (invisible to every
+    reader the moment the rename lands); bytes whose delete failed stay
+    in ``.trash`` and are retried by later vacuums.
     Dir-less leases/retired entries past grace are settled too, so the
     manifest stays bounded across crash/compaction cycles. mtime is an
     ops-plane staleness signal only — nothing in the data plane depends
     on it."""
+    import os
     import shutil
     import time
 
@@ -318,11 +329,17 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
     data = out_root / "data"
     trash_root = out_root / ".trash"
 
-    # Phase 0 (lock-free): clear leftovers of a vacuum that crashed
-    # between rename and delete — trash is never referenced by anything.
+    # Phase 0 (lock-free): clear aged trash — leftovers of a vacuum that
+    # crashed (or failed its deletes) after renaming. The age gate keeps
+    # this from racing a concurrent vacuum's still-in-use subdir.
     if trash_root.exists():
         for t in trash_root.iterdir():
-            shutil.rmtree(t, ignore_errors=True)
+            try:
+                aged = now - t.stat().st_mtime >= _TRASH_MIN_AGE
+            except OSError:
+                continue  # already being removed by a concurrent vacuum
+            if aged:
+                shutil.rmtree(t, ignore_errors=True)
 
     # Phase 1 (lock-free): stat mtimes of UNKNOWN dirs only.
     snap = manifest.snapshot()
@@ -341,7 +358,7 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
             idle_enough[rid] = now - newest >= grace_seconds
 
     removed: list[str] = []
-    to_delete: list[pathlib.Path] = []
+    my_trash: pathlib.Path | None = None
     # Phase 2 (locked): re-read the manifest, decide, and rename + settle
     # atomically against concurrent commits (rename is O(1); the
     # recursive delete happens after the lock is released).
@@ -364,10 +381,14 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
                 elif not idle_enough.get(rid, False):
                     continue  # unknown but fresh (or re-classified since
                     # the lock-free snapshot): leave it for the next pass
-                trash_root.mkdir(exist_ok=True)
-                target = trash_root / f"{d.name}-{len(to_delete)}"
-                d.rename(target)
-                to_delete.append(target)
+                # per-invocation subdir: collision-free vs leftovers and
+                # concurrent vacuums (ops-plane uniqueness — the data
+                # plane never reads trash)
+                if my_trash is None:
+                    my_trash = (trash_root
+                                / f"vac-{os.getpid()}-{time.monotonic_ns()}")
+                    my_trash.mkdir(parents=True, exist_ok=True)
+                d.rename(my_trash / d.name)
                 removed.append(d.name)
                 leases.pop(rid, None)
                 retired.discard(rid)
@@ -383,11 +404,10 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
         # settle them too, or the retired list grows one entry per
         # compaction cycle
         state["retired"] = sorted(r for r in retired if r in dirs_seen)
-    # Phase 3 (lock-free): the slow recursive deletes.
-    for t in to_delete:
-        shutil.rmtree(t, ignore_errors=True)
-    if trash_root.exists() and not any(trash_root.iterdir()):
-        trash_root.rmdir()
+    # Phase 3 (lock-free): the slow recursive deletes — best-effort; a
+    # failed delete stays in .trash and is retried by a later phase 0.
+    if my_trash is not None:
+        shutil.rmtree(my_trash, ignore_errors=True)
     return removed
 
 

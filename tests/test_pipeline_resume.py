@@ -357,3 +357,47 @@ def test_crash_resume_compact_vacuum_end_to_end(spark, transcripts, tmp_path):
         golden[sorted(golden.columns)], final[sorted(final.columns)],
         check_like=True,
     )
+
+
+def test_vacuum_trash_protocol(spark, transcripts, tmp_path):
+    """Crash-recovery of the rename-then-delete protocol: an AGED .trash
+    subdir (a vacuum that crashed between rename and delete) is cleared
+    by the next vacuum's phase 0; a YOUNG one (a possibly-concurrent
+    vacuum) is left alone; and renamed-but-undeleted dirs never
+    resurrect manifest entries."""
+    import os
+    import pathlib
+
+    from docling_api_spark.plans.pipeline import (
+        _TRASH_MIN_AGE,
+        compact,
+        run_extraction,
+        vacuum,
+    )
+
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(out), n_buckets=4, limit_buckets=2)
+    run_extraction(spark, transcripts, str(out), n_buckets=4)
+
+    trash = pathlib.Path(out) / ".trash"
+    aged = trash / "vac-999-1"
+    (aged / "run_id=run-dead").mkdir(parents=True)
+    (aged / "run_id=run-dead" / "f.parquet").write_text("x")
+    old = aged.stat().st_mtime - (_TRASH_MIN_AGE + 10)
+    os.utime(aged, (old, old))
+    young = trash / "vac-999-2"
+    (young / "run_id=run-live").mkdir(parents=True)
+
+    compact(spark, str(out), files_per_bucket=1)
+    removed = vacuum(str(out))
+    assert len(removed) == 2  # the two retired pre-compaction runs
+    assert not aged.exists()          # aged leftover cleared (phase 0)
+    assert young.exists()             # young subdir spared (age gate)
+    # this vacuum's own subdir fully deleted after phase 3
+    others = [t.name for t in trash.iterdir() if t.name != "vac-999-2"]
+    assert others == []
+    # manifest fully settled despite the leftover trash
+    from docling_api_spark.plans.checkpoint import Manifest
+
+    state = Manifest(str(out)).snapshot()
+    assert state["retired"] == []
