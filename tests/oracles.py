@@ -160,7 +160,3 @@ def java_ws_split(text: str) -> list[str]:
     return _JAVA_WS.split(text.lower().strip(" "))
 
 
-def word_shingles(toks: list[str], n: int) -> list[str]:
-    if len(toks) >= n:
-        return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    return [" ".join(toks)]

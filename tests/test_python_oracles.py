@@ -22,7 +22,6 @@ from tests.oracles import (
     spark_xxhash64,
     spark_xxhash64_long_int,
     spark_xxhash64_longs,
-    word_shingles,
 )
 
 DOCS = "/root/testdata/sf0.001/documents.parquet"
@@ -118,18 +117,27 @@ def test_minhash_lsh_matches_python_oracle(spark):
         ids.sort()
         reps.append(ids[0])
         edges |= {(ids[0], m, 1.0) for m in ids[1:]}
-    # signatures over representatives
-    sh_cache: dict[str, list[int]] = {}
+    # signatures over representatives — the operator's string-free shingle
+    # scheme: token hashed once to a long, shingle hash = multi-arg
+    # fixed-width fold over n consecutive token hashes; short docs hash
+    # their space-joined whole text as one string
+    tok_cache: dict[str, int] = {}
+    salt_cache: dict[int, list[int]] = {}
     sig: dict[int, list[int]] = {}
     for rid in reps:
-        shs = set(word_shingles(java_ws_split(text_by[rid]), SHINGLE_WORDS))
+        toks = java_ws_split(text_by[rid])
+        if len(toks) >= SHINGLE_WORDS:
+            th = [tok_cache.setdefault(t, spark_xxhash64(t)) for t in toks]
+            hbs = {spark_xxhash64_longs(th[i:i + SHINGLE_WORDS])
+                   for i in range(len(toks) - SHINGLE_WORDS + 1)}
+        else:
+            hbs = {spark_xxhash64(" ".join(toks))}
         per_salt = []
-        for sh in shs:
-            v = sh_cache.get(sh)
+        for hb in hbs:
+            v = salt_cache.get(hb)
             if v is None:
-                hb = spark_xxhash64(sh)  # shingle hashed once (operator shape)
-                v = sh_cache[sh] = [spark_xxhash64_long_int(hb, i)
-                                    for i in range(MINHASH_HASHES)]
+                v = salt_cache[hb] = [spark_xxhash64_long_int(hb, i)
+                                      for i in range(MINHASH_HASHES)]
             per_salt.append(v)
         sig[rid] = [min(v[i] for v in per_salt) for i in range(MINHASH_HASHES)]
     # bands -> buckets -> hybrid candidate expansion
