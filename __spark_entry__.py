@@ -548,8 +548,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, scale path: multi-table LSH self-join
-    then exact-cosine verify (rows-only for the driver — pytest enforces
+    """Embedding-cosine near-dup, scale path: multi-table multi-probe
+    LSH self-join then exact-cosine verify (rows-only — pytest enforces
     strict soundness vs numpy plus a deterministic recall floor against
     the DuckDB-verified exact-pair baseline)."""
     from docling_api_spark.operators.similarity import embedding_near_duplicates
@@ -593,8 +593,8 @@ def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN variant: multi-table LSH cosine top-k (rows-only for the
-    driver: recall < 1 by construction; pytest re-verifies every emitted
+    """ANN variant: multi-table multi-probe LSH cosine top-k (rows-only
+    for the driver: recall < 1 by construction; pytest re-verifies every
     cosine in numpy and enforces a recall floor vs the DuckDB-verified
     exact baseline)."""
     from docling_api_spark.operators.similarity import lsh_cosine_topk
@@ -647,10 +647,11 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hits.crossJoin(total).select(
             F.lit(method).alias("method"), "hits", "total",
             F.round(F.col("hits") / F.col("total"), 4).alias("recall"),
-            # fail-loud floor: matches the pytest recall@3 floor (0.4,
-            # tests/test_python_oracles.py) so an ANN regression flips a
+            # fail-loud floor: matches the pytest recall@3 floor (0.85,
+            # tests/test_python_oracles.py; multi-probe LSH measures
+            # 0.933, IVF 1.0) so an ANN regression flips a
             # driver-visible boolean instead of hiding in a rows-only row
-            (F.col("hits") / F.col("total") >= 0.4).alias("ok"),
+            (F.col("hits") / F.col("total") >= 0.85).alias("ok"),
         )
 
     lsh = lsh_cosine_topk(emb, queries, dim=64, k=3)

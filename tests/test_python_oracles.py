@@ -237,7 +237,8 @@ def test_embedding_lsh_sound_and_recall(spark, emb_np):
         assert (a, b) in exact_pairs
     # deterministic fixed corpus + fixed hyperplanes => recall is a constant
     recall = len(got) / max(len(exact_pairs), 1)
-    assert recall >= 0.3, f"LSH near-dup recall degraded: {recall}"
+    # multi-probe LSH measures 0.955 here (was 0.36 single-probe)
+    assert recall >= 0.85, f"LSH near-dup recall degraded: {recall}"
 
 
 def test_lsh_and_ivf_topk_sound_vs_exact(spark, emb_np):
@@ -271,4 +272,5 @@ def test_lsh_and_ivf_topk_sound_vs_exact(spark, emb_np):
             assert abs(r["cosine"] - expected) < 1e-9, (name, r)
             hits += r["cand_id"] in exact_by_q[r["query_id"]]
         recall = hits / sum(len(v) for v in exact_by_q.values())
-        assert recall >= 0.4, f"{name} recall@3 degraded: {recall}"
+        # multi-probe lsh measures 0.933 (was 0.53), ivf 1.0
+        assert recall >= 0.85, f"{name} recall@3 degraded: {recall}"
