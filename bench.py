@@ -147,15 +147,18 @@ def main() -> None:
             "w1_rate_windows",
             "w2_turn_ordering",
             "skew_salted_rollup",
+            "join_temporal",
             "dedup_exact",
             "dedup_minhash_lsh",
             "dedup_simhash",
             "dedup_embedding_lsh",
+            "dedup_cc_clusters",
             "sim_cosine_topk",
-            "sim_ivf_topk",
+            "sim_ann_topk",
             "text_quality",
             "text_token_stats",
             "text_fingerprint",
+            "decontaminate_ngrams",
             "multimodal_frames",
         ]
         # two interleaved passes over the whole sweep, best-of-2 per

@@ -1,0 +1,80 @@
+"""Eval-set decontamination: flag training documents that share word
+n-grams with a held-out evaluation set.
+
+The standard training-data hygiene step (benchmark leakage removal): any
+training document containing an n-gram that also occurs in the eval set
+is flagged, with overlap counts so the pipeline can drop / downweight.
+
+Shape at 100 TB: the EVAL side is small by construction (a benchmark is
+thousands of documents, the corpus is billions) — its distinct grams are
+broadcast. Training grams explode map-side straight into the broadcast
+hash join; only the matched (doc, gram, eval_doc) hits — a vanishingly
+small fraction — reach the groupBy shuffle. No corpus-wide shuffle of
+gram strings, one pass over the corpus, all JVM-side (higher-order
+shingling from operators/dedup.py, no Python).
+
+The driver query keeps gram STRINGS so DuckDB can replay it exactly; a
+production run at real scale would fold each gram to a 64-bit xxhash64
+on both sides before the join (same plan shape, 8-byte keys, collision
+odds ~N_eval_grams/2^64 per gram — acceptable for flagging) exactly as
+the minhash pipeline already does for shingles.
+
+Reference parity: no reference analog (per-document gateway); part of
+the training-data-pipeline layer the brief adds (SURVEY §2 addendum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per contaminated training document: distinct-gram total, number of
+    distinct grams shared with the eval set, number of distinct eval
+    documents hit, and the contaminated-gram rate. Documents with no
+    shared gram are not returned (at corpus scale the clean set is the
+    overwhelming majority — emitting it would be a full-corpus write).
+
+    Documents shorter than ``n`` tokens fall back to their whole
+    space-joined text as a single gram (same fallback as the dedup
+    shingle family), so short eval items still decontaminate exact
+    copies.
+    """
+    g = F.array_distinct(shingles(F.col(text_col), n))
+    train_grams = train.select(
+        F.col(id_col), F.explode(g).alias("gram")
+    )
+    eval_grams = evalset.select(
+        F.col(id_col).alias("_eval_doc"), F.explode(g).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_contaminated_grams"),
+            F.countDistinct("_eval_doc").alias("n_eval_docs_hit"),
+        )
+    )
+    totals = train.select(F.col(id_col), F.size(g).alias("n_grams"))
+    # hits is tiny (flagged docs only) — broadcast it against the corpus
+    # projection instead of shuffling the corpus on doc_id
+    return totals.join(F.broadcast(hits), id_col).select(
+        id_col,
+        "n_grams",
+        "n_contaminated_grams",
+        "n_eval_docs_hit",
+        F.round(
+            F.col("n_contaminated_grams")
+            / F.greatest(F.col("n_grams"), F.lit(1)),
+            6,
+        ).alias("contamination_rate"),
+    )

@@ -1,0 +1,131 @@
+"""Distributed connected components over an edge DataFrame.
+
+Turns near-duplicate PAIRS (the output of the dedup family —
+minhash-LSH, simhash, embedding-cosine) into duplicate CLUSTERS: every
+node gets the minimum node id reachable from it as its component label.
+This is the step a 100 TB dedup pipeline actually keeps — "which keeper
+does each document collapse to" — not the raw pair list.
+
+Algorithm: min-label propagation + pointer jumping (path doubling).
+Each round does
+  1. neighbor step:  comp[v] <- min(comp[v], min over neighbors u of comp[u])
+  2. pointer jump:   comp[v] <- comp[comp[v]]
+Both are joins + partial-agg groupBys on long keys (whole-stage codegen,
+no Python). The neighbor step alone needs O(diameter) rounds on a path
+graph — and our LSH chain expansion (operators/dedup.py) deliberately
+emits long paths for oversized buckets — but the pointer jump halves the
+remaining depth each round, giving O(log n) rounds overall. Every round
+is ``localCheckpoint``-ed (truncate the lineage: an iterative plan
+otherwise doubles in size per round and re-executes from the scan), and
+convergence is detected with a 2-value aggregate: comp is monotone
+non-increasing per node, so sum(comp) is strictly decreasing until the
+fixed point — no edge-set compare, no extra join.
+
+Invariant (why the fixed point is correct): comp[v] always holds the id
+of a node REACHABLE from v (the neighbor step takes labels from
+neighbors; the jump takes the label of the node whose id comp[v] is —
+both stay inside v's component). At a fixed point, for every edge (u,v)
+comp[u] <= comp[v] and comp[v] <= comp[u], so comp is constant per
+component; the minimum node m of a component has comp[m] ∈ [m, m] — so
+the constant is the component's minimum id.
+
+Reference parity: the reference has no graph operator (it is a
+per-document gateway); this is part of the training-data-pipeline layer
+the brief adds on top (dedup clusters at crawl scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label each node of the undirected graph ``edges`` with the minimum
+    node id in its connected component. Returns (id, comp) for every node
+    that appears in at least one edge (isolated nodes never enter the
+    frame — by construction they are singleton clusters). Self-loops are
+    ignored; duplicate / reversed edges are deduped.
+
+    Raises RuntimeError if ``max_iter`` rounds do not converge (fail
+    loudly rather than return a partial clustering) — with pointer
+    jumping, 50 rounds covers graphs astronomically deeper than any real
+    dedup output.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # 1. neighbor step: per node, min over neighbor labels
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("b"),
+                              F.col("comp").alias("_bcomp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("_bcomp").alias("_nmin"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("_nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # 2. pointer jump: comp <- comp[comp] (comp is always a node id)
+        parents = stepped.select(F.col("id").alias("_pid"),
+                                 F.col("comp").alias("_pcomp"))
+        labels = (
+            stepped.join(parents, stepped["comp"] == parents["_pid"], "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_pcomp"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        agg = labels.agg(F.sum("comp").alias("s")).collect()[0]
+        if agg["s"] == prev_sum:
+            return labels
+        prev_sum = agg["s"]
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def cluster_assignments(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_alias: str = "doc_id",
+) -> DataFrame:
+    """Components + cluster sizes in one result: (id_alias, cluster_id,
+    cluster_size), the grain a dedup pipeline joins back onto the corpus
+    to pick keepers / drop members. Every clustered node has size >= 2
+    (singletons never appear in the edge list)."""
+    comp = connected_components(edges, src, dst)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias(id_alias),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )

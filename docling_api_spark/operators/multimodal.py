@@ -100,6 +100,10 @@ def _map_binary_column(df: DataFrame, bin_col: str, out_field: T.StructField,
     parsing of variable-length binaries is inherently per-row; numpy does
     the per-byte work), and build the single output column as an Arrow
     array directly — no pandas anywhere."""
+    if bin_col not in df.columns:
+        # fail loudly: pyarrow's get_field_index returns -1 for a missing
+        # column, and column(-1) silently reads the LAST column instead
+        raise ValueError(f"binary column {bin_col!r} not in {df.columns}")
     keep = [f.name for f in df.schema.fields
             if not (drop_input and f.name == bin_col)]
     out_schema = T.StructType(

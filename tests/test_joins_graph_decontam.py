@@ -1,0 +1,270 @@
+"""Python-oracle tests for the temporal-join, connected-components, and
+decontamination operators: each Spark result is compared against a
+brute-force pure-Python recomputation on deterministic synthetic data."""
+
+from __future__ import annotations
+
+import random
+
+
+# ---------------------------------------------------------------------------
+# as-of join + range count
+# ---------------------------------------------------------------------------
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+
+def _brute_asof(purchases, clicks, window_s=600):
+    """Brute-force oracle: inclusive as-of (click.ts <= p.ts), strict
+    half-open range count [p.ts - window, p.ts)."""
+    import datetime as dt
+
+    win = dt.timedelta(seconds=window_s)
+    out = {}
+    for pid, user, pts, _v in purchases:
+        prior = [c for c in clicks if c[1] == user and c[2] <= pts]
+        best = max(prior, key=lambda c: (c[2], c[3])) if prior else None
+        n = sum(
+            1 for c in clicks
+            if c[1] == user and c[2] < pts and c[2] >= pts - win
+        )
+        out[pid] = (
+            best[2] if best else None,
+            best[3] if best else None,
+            n,
+        )
+    return out
+
+
+def _temporal_case(spark, purchases, clicks):
+    from docling_api_spark.operators.joins import asof_join
+
+    left = _mk_events(spark, purchases)
+    right = _mk_events(spark, clicks).select("user_id", "ts", "value")
+    got = asof_join(
+        left, right, on="user_id", attach_cols=("value",), prefix="click_",
+        count_preceding_s=600, count_col="n_clicks_10m",
+    ).orderBy("event_id").collect()
+    want = _brute_asof(purchases, clicks)
+    assert len(got) == len(purchases)
+    for r in got:
+        w_ts, w_val, w_n = want[r["event_id"]]
+        assert r["click_ts"] == w_ts, r
+        assert r["click_value"] == w_val, r
+        assert r["n_clicks_10m"] == w_n, r
+
+
+def test_asof_join_randomized(spark):
+    import datetime as dt
+
+    rng = random.Random(411)
+    base = dt.datetime(2024, 1, 1)
+    purchases, clicks = [], []
+    for i in range(200):
+        ts = base + dt.timedelta(seconds=rng.randrange(0, 7200))
+        row = (i, rng.randrange(8), ts, round(rng.uniform(1, 50), 2))
+        (purchases if i % 2 else clicks).append(row)
+    _temporal_case(spark, purchases, clicks)
+
+
+def test_asof_join_edges(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta
+    clicks = [
+        (100, 1, t0 - m(minutes=5), 1.0),
+        (101, 1, t0, 2.0),            # equal ts -> inclusive as-of match
+        (102, 2, t0 + m(minutes=1), 3.0),   # after every purchase: ignored
+        (103, 3, t0 - m(minutes=10), 4.0),  # exactly -10m: in [t-600, t)
+    ]
+    purchases = [
+        (0, 1, t0, 10.0),   # ties with click 101
+        (1, 2, t0, 11.0),   # only later clicks -> null attach, count 0
+        (2, 3, t0, 12.0),   # boundary click at exactly -600s
+        (3, 4, t0, 13.0),   # user with no clicks at all
+    ]
+    _temporal_case(spark, purchases, clicks)
+    # spot-check the boundary semantics explicitly
+    want = _brute_asof(purchases, clicks)
+    assert want[0] == (t0, 2.0, 1)          # inclusive as-of, strict count
+    assert want[1] == (None, None, 0)
+    assert want[2] == (t0 - m(minutes=10), 4.0, 1)  # closed lower bound
+    assert want[3] == (None, None, 0)
+
+
+def test_range_interval_count(spark):
+    import datetime as dt
+
+    from docling_api_spark.operators.joins import range_interval_count
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    lhs = [(i, rng.randrange(4),
+            base + dt.timedelta(seconds=rng.randrange(0, 3600)), 0.0)
+           for i in range(80)]
+    rhs = [(1000 + i, rng.randrange(4),
+            base + dt.timedelta(seconds=rng.randrange(0, 3600)), 0.0)
+           for i in range(80)]
+    got = range_interval_count(
+        _mk_events(spark, lhs), _mk_events(spark, rhs).select("user_id", "ts"),
+        on="user_id", lower_s=300, upper_s=60, count_col="n",
+    ).orderBy("event_id").collect()
+    for r in got:
+        _eid, user, ts, _ = lhs[r["event_id"]]
+        want = sum(
+            1 for q in rhs
+            if q[1] == user
+            and q[2] >= ts - dt.timedelta(seconds=300)  # lower closed
+            and q[2] < ts + dt.timedelta(seconds=60)    # upper open
+        )
+        assert r["n"] == want, (r, want)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def _union_find(edges):
+    par = {}
+
+    def find(x):
+        par.setdefault(x, x)
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            find(a)
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    # min-id canonical labels, only nodes with at least one real edge
+    nodes = {x for a, b in edges if a != b for x in (a, b)}
+    return {x: find(x) for x in nodes}
+
+
+def _cc_case(spark, edges):
+    from docling_api_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["comp"] for r in connected_components(df).collect()
+    }
+    assert got == _union_find(edges)
+
+
+def test_cc_path_graph(spark):
+    # long path: defeats plain neighbor propagation without pointer
+    # jumping inside the round budget
+    _cc_case(spark, [(i, i + 1) for i in range(120)])
+
+
+def test_cc_structures(spark):
+    _cc_case(spark, [
+        (5, 1), (1, 9),            # chain, unsorted ids
+        (20, 21), (21, 22), (20, 22),   # triangle
+        (30, 31),                  # pair
+        (40, 40),                  # self-loop only -> excluded entirely
+        (50, 51), (51, 50),        # duplicate reversed edges
+    ])
+
+
+def test_cc_randomized(spark):
+    rng = random.Random(1234)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    _cc_case(spark, edges)
+
+
+def test_cluster_assignments(spark):
+    from docling_api_spark.operators.graph import cluster_assignments
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in cluster_assignments(df).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def _brute_decontam(train, evalset, n=3):
+    def grams(text):
+        toks = text.strip().lower().split()
+        if len(toks) >= n:
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    eval_grams = {}  # gram -> set of eval doc ids
+    for did, text in evalset:
+        for g in grams(text):
+            eval_grams.setdefault(g, set()).add(did)
+    out = {}
+    for did, text in train:
+        gs = grams(text)
+        hit = {g for g in gs if g in eval_grams}
+        if hit:
+            docs = set().union(*(eval_grams[g] for g in hit))
+            rate = round(len(hit) / max(len(gs), 1), 6)
+            out[did] = (len(gs), len(hit), len(docs), rate)
+    return out
+
+
+def test_ngram_decontaminate(spark):
+    from docling_api_spark.operators.decontam import ngram_decontaminate
+
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated text about spark pipelines here"),
+        (3, "short one"),                      # < n tokens: whole-text gram
+        (4, "the quick brown fox sat still today"),
+    ]
+    evalset = [
+        (100, "a benchmark with the quick brown fox inside it"),
+        (101, "short one"),                    # exact short-doc copy
+        (102, "quick brown fox jumps high"),
+    ]
+    t = spark.createDataFrame(train, "doc_id long, text string")
+    e = spark.createDataFrame(evalset, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated_grams"],
+                      r["n_eval_docs_hit"], r["contamination_rate"])
+        for r in ngram_decontaminate(t, e, n=3).collect()
+    }
+    want = _brute_decontam(train, evalset, n=3)
+    assert got == want
+    assert set(got) == {1, 3, 4}  # doc 2 is clean
+
+
+def test_ngram_decontaminate_randomized(spark):
+    from docling_api_spark.operators.decontam import ngram_decontaminate
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(30)]
+    train = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25))))
+        for i in range(60)
+    ]
+    evalset = [
+        (1000 + i,
+         " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 25))))
+        for i in range(8)
+    ]
+    t = spark.createDataFrame(train, "doc_id long, text string")
+    e = spark.createDataFrame(evalset, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_contaminated_grams"],
+                      r["n_eval_docs_hit"], r["contamination_rate"])
+        for r in ngram_decontaminate(t, e, n=3).collect()
+    }
+    assert got == _brute_decontam(train, evalset, n=3)
