@@ -98,6 +98,32 @@ CHECKS = {
                 "reuses the va exchange: one corpus vector scan); score + "
                 "threshold are fused in a single mapInPandas verify stage",
     },
+    "join_temporal": {
+        "must": ["Union", "hashpartitioning(user_id", "Window"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "BroadcastNestedLoopJoin"],
+        "note": "as-of + 10-minute range count via the union + window trick: "
+                "ONE shuffle on user_id (the single mid-plan Exchange) feeds "
+                "all three window passes over the same sort order — no join "
+                "operator, no per-pair expansion, no per-key Python",
+    },
+    "dedup_cc_clusters": {
+        "must": ["HashAggregate"],
+        "must_not": ["CartesianProduct"],
+        "note": "connected components converges OUTSIDE this final plan "
+                "(O(log n) label-propagation + pointer-jumping rounds, each "
+                "localCheckpointed so lineage stays bounded); the visible "
+                "plan is just labels ⋈ per-cluster sizes — the per-round "
+                "shuffles are each a single hash partition on the node id",
+    },
+    "decontaminate_ngrams": {
+        "must": ["BroadcastHashJoin", "Generate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+        "note": "eval-set grams (the small side by construction) broadcast; "
+                "training grams explode map-side straight into the broadcast "
+                "hash join — the 100 TB corpus' n-grams are never shuffled, "
+                "only the per-doc hit counts are",
+    },
 }
 
 
