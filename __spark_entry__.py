@@ -512,36 +512,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact: all id_a < id_b pairs with
-    cosine >= 0.40 via broadcast self-join + JVM-side higher-order dot
-    product. Exact-pair baseline; the 100 TB path is the LSH-bucketed
-    variant below (candidate pairs only within hash buckets)."""
-    from docling_api_spark.operators.similarity import _dot, _norm
+    cosine >= 0.40 (broadcast self-join; sequential-sum numpy scoring
+    with the JVM fold's exact float semantics — operators/similarity.py
+    exact_cosine_pairs). Exact-pair baseline; the 100 TB path is the
+    LSH-bucketed variant below (candidate pairs only within buckets)."""
+    from docling_api_spark.operators.similarity import exact_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    # compute each vector's norm ONCE (O(N·d)) and carry it as a scalar, so
-    # the O(N^2) pair stage walks the arrays once for the dot product instead
-    # of three times; the quotient is the exact same float expression the
-    # DuckDB oracle evaluates (bit-stable rounding)
-    withn = emb.select("vec_id", "v", _norm(F.col("v")).alias("n"))
-    a = withn.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                     F.col("n").alias("na"))
-    b = withn.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-                     F.col("n").alias("nb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a", "id_b",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)),
-                6,
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.40)
-        .orderBy("id_a", "id_b")
-    )
+    return exact_cosine_pairs(emb, 0.40).orderBy("id_a", "id_b")
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

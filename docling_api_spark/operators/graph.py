@@ -62,9 +62,23 @@ def connected_components(
                      F.col(dst).cast("long").alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    # symmetrize by exploding both directions out of ONE pass — a
+    # self-union (e ∪ reversed(e)) would evaluate the upstream edge
+    # subtree twice, and edge sources are typically the expensive part
+    # of a dedup pipeline (measured 2x on the exact-cosine edge source)
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
@@ -103,7 +117,14 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        agg = labels.agg(F.sum("comp").alias("s")).collect()[0]
+        # decimal(38,0) sum: comp is monotone non-increasing per node, so
+        # an unchanged TRUE sum means a fixed point — but an int64 sum
+        # over billions of long ids could wrap (non-ANSI mode wraps
+        # silently) and alias two different label states. 38 digits
+        # cannot wrap for any physical graph (< 1e19 nodes x 1e19 ids).
+        agg = labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]
         if agg["s"] == prev_sum:
             return labels
         prev_sum = agg["s"]

@@ -31,6 +31,27 @@ def _norm(a):
     )
 
 
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise UNROUNDED dot product with the higher-order fold's EXACT
+    float semantics, vectorized: ``aggregate(zip_with(a,b,*), 0.0, +)``
+    is a strict left-to-right running sum starting at 0.0, which is
+    precisely ``cumsum`` over the product matrix (after folding the
+    initial ``0.0 + p₁``, which normalizes a -0.0 first product). Same
+    doubles in the same order as the interpreted JVM expression and as
+    DuckDB's ``list_dot_product`` — hash parity holds — at numpy C-loop
+    speed instead of per-element lambda interpretation. (An unrolled
+    64-term JVM expression was measured 6x SLOWER than even the
+    interpreted fold: the tree exceeds codegen limits and evaluates as a
+    128-deep boxed interpreter recursion — don't retry that. numpy's
+    ``einsum``/``dot`` use pairwise summation — a DIFFERENT order; only
+    cumsum reproduces the fold.) Rounding is NOT applied here: callers
+    round JVM-side with ``F.round`` (HALF_UP) so the DuckDB-verified
+    paths keep one rounding definition."""
+    prod = a * b
+    prod[:, 0] = 0.0 + prod[:, 0]
+    return np.cumsum(prod, axis=1)[:, -1]
+
+
 def _cosine_batch(va, vb) -> np.ndarray:
     """Batched cosine, rounded to 6 places with numpy's round-half-even —
     the same semantics as the pure-Python ``round(x, 6)`` the pytest
@@ -87,6 +108,71 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 3,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
+def exact_cosine_pairs(emb: DataFrame, threshold: float,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Exact O(N²) near-dup baseline: every ``id_a < id_b`` pair with
+    ``round(cosine, 6) >= threshold``. Declared exact-pair baseline only —
+    the 100 TB path is the LSH-bucketed variant (candidates within hash
+    buckets); this one exists to be the DuckDB-verifiable ground truth
+    the ANN recall floors are measured against.
+
+    The corpus is by definition single-node-sized here (the exact
+    baseline is quadratic — at real scale you run the LSH variant), so it
+    ships to the executors ONCE as a Spark broadcast variable and the
+    pair stage joins nothing but ids: the BroadcastNestedLoopJoin emits
+    16-byte (id_a, id_b) rows instead of duplicating two 64-dim vectors
+    into every pair (2 GB of Arrow traffic for 2 M pairs — measured 4x
+    end-to-end). The scoring kernel gathers rows from the broadcast
+    matrix and uses the sequential-sum dot (:func:`_seq_dot`) for both
+    dots and norms — bit-identical to the JVM fold and to DuckDB's
+    ``list_dot_product``. Rounding and the threshold filter run JVM-side
+    on the UDF's single output column, so the one HALF_UP rounding
+    definition is shared with every DuckDB-verified path and the
+    mapInPandas stage executes exactly once."""
+    pdf = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+    ids = pdf["id"].to_numpy()[order]
+    mat = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+
+    id_df = emb.select(F.col(id_col).cast("long").alias("id"))
+    a = id_df.select(F.col("id").alias("id_a"))
+    b = id_df.select(F.col("id").alias("id_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("_raw_cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        ids_w, mat_w = bc.value
+        # norms with the same sequential fold (sqrt of the running sum of
+        # squares) — computed once per task, not per batch
+        norms = np.sqrt(_seq_dot(mat_w, mat_w))
+        for pdf_b in batches:
+            if len(pdf_b) == 0:
+                continue
+            ia = np.searchsorted(ids_w, pdf_b["id_a"].to_numpy())
+            ib = np.searchsorted(ids_w, pdf_b["id_b"].to_numpy())
+            dot = _seq_dot(mat_w[ia], mat_w[ib])
+            raw = dot / np.maximum(norms[ia] * norms[ib], 1e-12)
+            yield pd.DataFrame({
+                "id_a": pdf_b["id_a"],
+                "id_b": pdf_b["id_b"],
+                "_raw_cosine": raw,
+            })
+
+    return (
+        pairs.mapInPandas(score, out_schema)
+        .select("id_a", "id_b", F.round("_raw_cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
