@@ -1360,11 +1360,18 @@ def oracle_sql() -> dict[str, str]:
             ), c AS (
                 SELECT user_id, ts, value FROM events
                 WHERE event_type = 'click'
+            ), cd AS (
+                -- collapse (user_id, ts) ties to the max value BEFORE the
+                -- ASOF join: DuckDB's ASOF tie-break among duplicate right
+                -- timestamps is insert-order-dependent, while the Spark
+                -- operator deterministically attaches the max value tuple
+                SELECT user_id, ts, max(value) AS value
+                FROM c GROUP BY user_id, ts
             ), a AS (
-                SELECT p.event_id, c.ts AS last_click_ts,
-                       c.value AS click_value
-                FROM p ASOF LEFT JOIN c
-                  ON p.user_id = c.user_id AND c.ts <= p.ts
+                SELECT p.event_id, cd.ts AS last_click_ts,
+                       cd.value AS click_value
+                FROM p ASOF LEFT JOIN cd
+                  ON p.user_id = cd.user_id AND cd.ts <= p.ts
             ), r AS (
                 SELECT p.event_id, count(c.ts) AS n_clicks_10m
                 FROM p LEFT JOIN c
@@ -1382,9 +1389,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate_ngrams": """
             WITH toks AS (
+                -- null-text docs carry no content to leak; excluded on
+                -- both sides (matches the operator, which filters them
+                -- because concat_ws-vs-array_to_string null folding is
+                -- the one place the two engines' gram strings differ)
                 SELECT doc_id,
                        regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-                FROM documents
+                FROM documents WHERE text IS NOT NULL
             ), g AS (
                 SELECT doc_id,
                        unnest(list_distinct(

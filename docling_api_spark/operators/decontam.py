@@ -50,24 +50,36 @@ def ngram_decontaminate(
     copies.
     """
     g = F.array_distinct(shingles(F.col(text_col), n))
-    train_grams = train.select(
-        F.col(id_col), F.explode(g).alias("gram")
+    # null-text documents carry no content to leak — excluded on BOTH
+    # sides (the SQL oracle does the same; Spark's concat_ws would fold a
+    # null token array to the gram '' while SQL's array_to_string yields
+    # NULL — filtering is the one semantics both engines express exactly)
+    train_nn = train.filter(F.col(text_col).isNotNull())
+    # materialize the gram array as a column FIRST, then take size +
+    # explode off the materialized column: one evaluation of the
+    # shingling HOF and ONE corpus scan — n_grams rides along each
+    # exploded row and is recovered with first() after the join, instead
+    # of a second scan-and-shingle subtree just for totals
+    train_grams = train_nn.select(
+        F.col(id_col), g.alias("_grams")
+    ).select(
+        F.col(id_col),
+        F.size("_grams").alias("n_grams"),
+        F.explode("_grams").alias("gram"),
     )
-    eval_grams = evalset.select(
+    eval_grams = evalset.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_eval_doc"), F.explode(g).alias("gram")
     )
     hits = (
         train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
         .agg(
+            F.first("n_grams").alias("n_grams"),
             F.countDistinct("gram").alias("n_contaminated_grams"),
             F.countDistinct("_eval_doc").alias("n_eval_docs_hit"),
         )
     )
-    totals = train.select(F.col(id_col), F.size(g).alias("n_grams"))
-    # hits is tiny (flagged docs only) — broadcast it against the corpus
-    # projection instead of shuffling the corpus on doc_id
-    return totals.join(F.broadcast(hits), id_col).select(
+    return hits.select(
         id_col,
         "n_grams",
         "n_contaminated_grams",

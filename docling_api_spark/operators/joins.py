@@ -33,6 +33,27 @@ from pyspark.sql import functions as F
 _IS_RIGHT = "_asof_is_right"
 
 
+_R_STRUCT = "_asof_right_row"
+
+
+def _tag_union(left: DataFrame, right_projected: DataFrame) -> DataFrame:
+    """Shared scaffolding: tag left 0 / right 1 and union under the left
+    schema (right columns missing from left arrive as nulls)."""
+    return left.withColumn(_IS_RIGHT, F.lit(0)).unionByName(
+        right_projected.withColumn(_IS_RIGHT, F.lit(1)),
+        allowMissingColumns=True,
+    )
+
+
+def _micros(ts_col: str):
+    """Epoch micros for window ordering / range frames. Parquet
+    timestamps arrive as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP. The
+    session pins spark.sql.session.timeZone=UTC (session.py), so the
+    cast is a linear relabeling — no DST folds that could warp
+    range-frame arithmetic."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -54,49 +75,49 @@ def asof_join(
     range frame over epoch micros.
 
     Mechanics: right rows are projected to (key, ts, attached cols),
-    unioned under the left schema, and ordered per key by
-    (epoch_micros, is_right DESC, attached cols) — so at equal
-    timestamps a right row sorts before a left row (inclusive as-of) and
-    duplicate right timestamps resolve deterministically by attached
-    value order. ``last(..., ignorenulls)`` over an unbounded-preceding
-    row frame then carries the latest right values onto each left row.
+    unioned under the left schema, and the ENTIRE right row is carried
+    as ONE struct through a single ``last(struct, ignorenulls)`` over an
+    unbounded-preceding row frame — so the attached columns always come
+    from the SAME right row even when some attached values are null (a
+    per-column carry would mix a null-valued later row's ts with an
+    earlier row's value — a chimera row). Ordering per key is
+    (epoch_micros, is_right DESC, right-struct) — at equal timestamps a
+    right row sorts before a left row (inclusive as-of), and duplicate
+    right timestamps resolve deterministically to the MAX attached-value
+    tuple (struct comparison is field-by-field in ``attach_cols`` order).
 
     Requires: (key, right_ts) collisions are allowed but resolved by
     attached-column order; attached columns must be orderable types.
     """
     key = [on] if isinstance(on, str) else list(on)
-    tagged_left = left.withColumn(_IS_RIGHT, F.lit(0))
-    tagged_right = right.select(
-        *key,
-        F.col(right_ts).alias(left_ts),
-        *[F.col(c).alias(prefix + c) for c in attach_cols],
-    ).withColumn(_IS_RIGHT, F.lit(1))
-    u = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
-
-    # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros wants
-    # TIMESTAMP. The session pins spark.sql.session.timeZone=UTC
-    # (session.py), so the cast is a linear relabeling — no DST folds
-    # that could warp range-frame arithmetic.
-    micros = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    u = _tag_union(
+        left,
+        right.select(
+            *key,
+            F.col(right_ts).alias(left_ts),
+            *[F.col(c).alias(prefix + c) for c in attach_cols],
+        ),
+    )
+    micros = _micros(left_ts)
+    rstruct = F.when(
+        F.col(_IS_RIGHT) == 1,
+        F.struct(
+            F.col(left_ts).alias("_ts"),
+            *[F.col(prefix + c).alias(c) for c in attach_cols],
+        ),
+    )
     w_rows = (
         Window.partitionBy(*key)
-        .orderBy(
-            micros.asc(),
-            F.col(_IS_RIGHT).desc(),
-            *[F.col(prefix + c).asc_nulls_first() for c in attach_cols],
-        )
+        .orderBy(micros.asc(), F.col(_IS_RIGHT).desc(),
+                 rstruct.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = u.withColumn(
-        prefix + right_ts,
-        F.last(F.when(F.col(_IS_RIGHT) == 1, F.col(left_ts)), ignorenulls=True)
-        .over(w_rows),
+        _R_STRUCT, F.last(rstruct, ignorenulls=True).over(w_rows)
     )
+    out = out.withColumn(prefix + right_ts, F.col(f"{_R_STRUCT}._ts"))
     for c in attach_cols:
-        out = out.withColumn(
-            prefix + c,
-            F.last(F.col(prefix + c), ignorenulls=True).over(w_rows),
-        )
+        out = out.withColumn(prefix + c, F.col(f"{_R_STRUCT}.{c}"))
     if count_preceding_s is not None:
         w_range = (
             Window.partitionBy(*key)
@@ -107,7 +128,7 @@ def asof_join(
             count_col,
             F.count(F.when(F.col(_IS_RIGHT) == 1, F.lit(1))).over(w_range),
         )
-    return out.filter(F.col(_IS_RIGHT) == 0).drop(_IS_RIGHT)
+    return out.filter(F.col(_IS_RIGHT) == 0).drop(_IS_RIGHT, _R_STRUCT)
 
 
 def range_interval_count(
@@ -127,14 +148,10 @@ def range_interval_count(
     expansion. For ``upper_s = 0`` this is "right events in the preceding
     ``lower_s`` seconds, strictly before the left event"."""
     key = [on] if isinstance(on, str) else list(on)
-    tagged_left = left.withColumn(_IS_RIGHT, F.lit(0))
-    tagged_right = right.select(
-        *key, F.col(right_ts).alias(left_ts)
-    ).withColumn(_IS_RIGHT, F.lit(1))
-    u = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
+    u = _tag_union(left, right.select(*key, F.col(right_ts).alias(left_ts)))
     w_range = (
         Window.partitionBy(*key)
-        .orderBy(F.unix_micros(F.col(left_ts).cast("timestamp")))
+        .orderBy(_micros(left_ts))
         .rangeBetween(-lower_s * 1_000_000, upper_s * 1_000_000 - 1)
     )
     out = u.withColumn(

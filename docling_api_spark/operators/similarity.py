@@ -111,6 +111,9 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
+_BC_REGISTRY: list = []  # broadcasts from prior exact_cosine_pairs calls
+
+
 def exact_cosine_pairs(emb: DataFrame, threshold: float,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:
@@ -133,13 +136,24 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float,
     on the UDF's single output column, so the one HALF_UP rounding
     definition is shared with every DuckDB-verified path and the
     mapInPandas stage executes exactly once."""
+    spark = emb.sparkSession
     pdf = emb.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     ).toPandas()
+    if len(pdf) == 0:
+        # np.vstack rejects zero arrays; an empty corpus has no pairs
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
     order = np.argsort(pdf["id"].to_numpy(), kind="stable")
     ids = pdf["id"].to_numpy()[order]
     mat = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+    # evict broadcasts from prior calls so a long-lived session invoking
+    # this repeatedly doesn't pin one corpus copy per call on the
+    # executors. unpersist (NOT destroy) is safe for still-referenced
+    # plans: the value stays on the driver and re-broadcasts on demand.
+    while _BC_REGISTRY:
+        _BC_REGISTRY.pop().unpersist(blocking=False)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    _BC_REGISTRY.append(bc)
 
     id_df = emb.select(F.col(id_col).cast("long").alias("id"))
     a = id_df.select(F.col("id").alias("id_a"))

@@ -4,6 +4,7 @@ brute-force pure-Python recomputation on deterministic synthetic data."""
 
 from __future__ import annotations
 
+import decimal
 import random
 
 
@@ -124,6 +125,55 @@ def test_range_interval_count(spark):
         assert r["n"] == want, (r, want)
 
 
+def test_asof_join_null_attach_no_chimera(spark):
+    """The attached columns must all come from the SAME right row even
+    when the latest right row carries a null attach value — a per-column
+    ignorenulls carry would mix rows (regression: chimera attach)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(0, 1, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(minutes=5), 2.0, "early"),
+         (1, t0, None, "late")],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    row = asof_join_import()(
+        left, right, on="user_id", attach_cols=("value", "tag"), prefix="r_",
+    ).collect()[0]
+    # latest right row is ('late', null value) — BOTH attaches from it
+    assert row["r_ts"] == t0
+    assert row["r_tag"] == "late"
+    assert row["r_value"] is None, "chimera: value leaked from an earlier row"
+
+
+def test_asof_join_tie_break_multi_col(spark):
+    """Duplicate right timestamps resolve to the max attach TUPLE
+    (struct field order = attach_cols order), deterministically."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(0, 7, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, t0, 3.0, "zz"), (7, t0, 5.0, "aa"), (7, t0, 5.0, "mm")],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    row = asof_join_import()(
+        left, right, on="user_id", attach_cols=("value", "tag"), prefix="r_",
+    ).collect()[0]
+    assert (row["r_value"], row["r_tag"]) == (5.0, "mm")
+
+
+def asof_join_import():
+    from docling_api_spark.operators.joins import asof_join
+
+    return asof_join
+
+
 # ---------------------------------------------------------------------------
 # connected components
 # ---------------------------------------------------------------------------
@@ -215,7 +265,15 @@ def _brute_decontam(train, evalset, n=3):
         hit = {g for g in gs if g in eval_grams}
         if hit:
             docs = set().union(*(eval_grams[g] for g in hit))
-            rate = round(len(hit) / max(len(gs), 1), 6)
+            # HALF_UP like Spark's F.round — Python round is half-even
+            # and diverges on exact decimal ties (e.g. 1/128 = 0.0078125).
+            # repr() mirrors Java's Double.toString shortest-decimal form,
+            # which is what Spark's BigDecimal.valueOf rounds.
+            rate = float(
+                decimal.Decimal(repr(len(hit) / max(len(gs), 1))).quantize(
+                    decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+                )
+            )
             out[did] = (len(gs), len(hit), len(docs), rate)
     return out
 
@@ -244,6 +302,31 @@ def test_ngram_decontaminate(spark):
     want = _brute_decontam(train, evalset, n=3)
     assert got == want
     assert set(got) == {1, 3, 4}  # doc 2 is clean
+
+
+def test_ngram_decontaminate_null_text(spark):
+    """Null-text docs are excluded on both sides (no content to leak);
+    without the filter Spark folds the null token array to gram '' and
+    flags null-vs-null as contamination while SQL engines yield NULL."""
+    from docling_api_spark.operators.decontam import ngram_decontaminate
+
+    t = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    e = spark.createDataFrame(
+        [(100, None), (101, "alpha beta gamma")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in ngram_decontaminate(t, e, n=3).collect()}
+    assert got == {2}
+
+
+def test_exact_cosine_pairs_empty_corpus(spark):
+    from docling_api_spark.operators.similarity import exact_cosine_pairs
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = exact_cosine_pairs(emb, 0.4)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]
 
 
 def test_ngram_decontaminate_randomized(spark):
