@@ -58,8 +58,10 @@ def ngram_decontaminate(
     # materialize the gram array as a column FIRST, then take size +
     # explode off the materialized column: one evaluation of the
     # shingling HOF and ONE corpus scan — n_grams rides along each
-    # exploded row and is recovered with first() after the join, instead
-    # of a second scan-and-shingle subtree just for totals
+    # exploded row and is recovered with max() after the join (every row
+    # of one document carries the same size, and max stays deterministic
+    # even if an upstream feeds duplicate doc_ids), instead of a second
+    # scan-and-shingle subtree just for totals
     train_grams = train_nn.select(
         F.col(id_col), g.alias("_grams")
     ).select(
@@ -74,7 +76,7 @@ def ngram_decontaminate(
         train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
         .agg(
-            F.first("n_grams").alias("n_grams"),
+            F.max("n_grams").alias("n_grams"),
             F.countDistinct("gram").alias("n_contaminated_grams"),
             F.countDistinct("_eval_doc").alias("n_eval_docs_hit"),
         )

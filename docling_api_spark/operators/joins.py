@@ -34,6 +34,7 @@ _IS_RIGHT = "_asof_is_right"
 
 
 _R_STRUCT = "_asof_right_row"
+_TS_FIELD = "__asof_ts"
 
 
 def _tag_union(left: DataFrame, right_projected: DataFrame) -> DataFrame:
@@ -88,11 +89,17 @@ def asof_join(
 
     Requires: (key, right_ts) collisions are allowed but resolved by
     attached-column order; attached columns must be orderable types.
+    Right rows with a NULL ``right_ts`` are dropped before the union —
+    ``NULL <= t`` is never true, so they can match nothing (DuckDB ASOF
+    agrees); without the filter they would sort NULLS FIRST and be
+    carried onto every left row with no real predecessor.
     """
+    if _TS_FIELD in attach_cols:
+        raise ValueError(f"attach column name {_TS_FIELD!r} is reserved")
     key = [on] if isinstance(on, str) else list(on)
     u = _tag_union(
         left,
-        right.select(
+        right.filter(F.col(right_ts).isNotNull()).select(
             *key,
             F.col(right_ts).alias(left_ts),
             *[F.col(c).alias(prefix + c) for c in attach_cols],
@@ -102,7 +109,7 @@ def asof_join(
     rstruct = F.when(
         F.col(_IS_RIGHT) == 1,
         F.struct(
-            F.col(left_ts).alias("_ts"),
+            F.col(left_ts).alias(_TS_FIELD),
             *[F.col(prefix + c).alias(c) for c in attach_cols],
         ),
     )
@@ -115,7 +122,7 @@ def asof_join(
     out = u.withColumn(
         _R_STRUCT, F.last(rstruct, ignorenulls=True).over(w_rows)
     )
-    out = out.withColumn(prefix + right_ts, F.col(f"{_R_STRUCT}._ts"))
+    out = out.withColumn(prefix + right_ts, F.col(f"{_R_STRUCT}.{_TS_FIELD}"))
     for c in attach_cols:
         out = out.withColumn(prefix + c, F.col(f"{_R_STRUCT}.{c}"))
     if count_preceding_s is not None:
@@ -146,9 +153,14 @@ def range_interval_count(
     for the same key (half-open upper bound; microsecond-exact). Same
     union + range-frame plan as :func:`asof_join` — one shuffle, no pair
     expansion. For ``upper_s = 0`` this is "right events in the preceding
-    ``lower_s`` seconds, strictly before the left event"."""
+    ``lower_s`` seconds, strictly before the left event". NULL-``right_ts``
+    rows are dropped (they fall in no interval)."""
     key = [on] if isinstance(on, str) else list(on)
-    u = _tag_union(left, right.select(*key, F.col(right_ts).alias(left_ts)))
+    u = _tag_union(
+        left,
+        right.filter(F.col(right_ts).isNotNull())
+        .select(*key, F.col(right_ts).alias(left_ts)),
+    )
     w_range = (
         Window.partitionBy(*key)
         .orderBy(_micros(left_ts))

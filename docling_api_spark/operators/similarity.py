@@ -10,6 +10,8 @@ candidates are scored — O(N) bucket rows instead of O(N·Q) pairs.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -112,6 +114,7 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 3,
 
 
 _BC_REGISTRY: list = []  # broadcasts from prior exact_cosine_pairs calls
+_BC_LOCK = threading.Lock()
 
 
 def exact_cosine_pairs(emb: DataFrame, threshold: float,
@@ -149,11 +152,19 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float,
     # evict broadcasts from prior calls so a long-lived session invoking
     # this repeatedly doesn't pin one corpus copy per call on the
     # executors. unpersist (NOT destroy) is safe for still-referenced
-    # plans: the value stays on the driver and re-broadcasts on demand.
-    while _BC_REGISTRY:
-        _BC_REGISTRY.pop().unpersist(blocking=False)
+    # plans (the value stays on the driver and re-ships on demand), so
+    # this is purely an efficiency policy: keep the IMMEDIATELY-prior
+    # broadcast alive — its result DataFrame may still be lazily pending
+    # in an interleaved caller — and evict only older ones, under a lock
+    # (concurrent driver threads may share this module global).
     bc = spark.sparkContext.broadcast((ids, mat))
-    _BC_REGISTRY.append(bc)
+    with _BC_LOCK:
+        while len(_BC_REGISTRY) > 1:
+            try:
+                _BC_REGISTRY.pop(0).unpersist(blocking=False)
+            except Exception:
+                pass  # broadcast from a stopped SparkContext
+        _BC_REGISTRY.append(bc)
 
     id_df = emb.select(F.col(id_col).cast("long").alias("id"))
     a = id_df.select(F.col("id").alias("id_a"))

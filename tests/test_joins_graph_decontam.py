@@ -140,13 +140,41 @@ def test_asof_join_null_attach_no_chimera(spark):
          (1, t0, None, "late")],
         "user_id long, ts timestamp, value double, tag string",
     )
-    row = asof_join_import()(
+    from docling_api_spark.operators.joins import asof_join
+
+    row = asof_join(
         left, right, on="user_id", attach_cols=("value", "tag"), prefix="r_",
     ).collect()[0]
     # latest right row is ('late', null value) — BOTH attaches from it
     assert row["r_ts"] == t0
     assert row["r_tag"] == "late"
     assert row["r_value"] is None, "chimera: value leaked from an earlier row"
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    """A right row with a NULL timestamp precedes nothing (NULL <= t is
+    never true; DuckDB ASOF agrees) — it must not be carried onto left
+    rows that have no real predecessor, and a reserved attach name is
+    rejected."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from docling_api_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(0, 1, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 9.0)], "user_id long, ts timestamp, value double"
+    )
+    row = asof_join(
+        left, right, on="user_id", attach_cols=("value",), prefix="r_"
+    ).collect()[0]
+    assert row["r_ts"] is None and row["r_value"] is None
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="user_id", attach_cols=("__asof_ts",))
 
 
 def test_asof_join_tie_break_multi_col(spark):
@@ -162,16 +190,12 @@ def test_asof_join_tie_break_multi_col(spark):
         [(7, t0, 3.0, "zz"), (7, t0, 5.0, "aa"), (7, t0, 5.0, "mm")],
         "user_id long, ts timestamp, value double, tag string",
     )
-    row = asof_join_import()(
+    from docling_api_spark.operators.joins import asof_join
+
+    row = asof_join(
         left, right, on="user_id", attach_cols=("value", "tag"), prefix="r_",
     ).collect()[0]
     assert (row["r_value"], row["r_tag"]) == (5.0, "mm")
-
-
-def asof_join_import():
-    from docling_api_spark.operators.joins import asof_join
-
-    return asof_join
 
 
 # ---------------------------------------------------------------------------
