@@ -50,9 +50,14 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def shingles(text_col, n: int = SHINGLE_WORDS):
-    """Word n-gram shingles via higher-order functions (no explode yet)."""
-    toks = _tokens(text_col)
+def shingles_of_tokens(toks, n: int = SHINGLE_WORDS):
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token array
+    column. Callers must bind ``toks`` to a real column (select /
+    withColumn it first), not an inline ``split``: Catalyst does not CSE
+    a subtree referenced inside a ``transform`` lambda, so an inline
+    tokenization re-runs once per shingle — measured 5x slower on the
+    sf0.1 decontamination gram pass (4.4 s -> 0.7 s). Same trap and same
+    fix as the minhash token-hash materialization below."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -60,6 +65,14 @@ def shingles(text_col, n: int = SHINGLE_WORDS):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(text_col, n: int = SHINGLE_WORDS):
+    """Word n-gram shingles via higher-order functions (no explode yet).
+    Convenience form over an inline text column — fine for tiny frames;
+    hot paths must materialize tokens and use
+    :func:`shingles_of_tokens` (see its docstring)."""
+    return shingles_of_tokens(_tokens(text_col), n)
 
 
 def minhash_signature(df: DataFrame, id_col: str = "doc_id",
@@ -295,8 +308,12 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     """Exact n-gram Jaccard for given id pairs (the J4-style verification
     join shape)."""
     grams = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+        F.array_distinct(
+            shingles_of_tokens(F.col("_toks"), n)
+        ).alias("grams"),
     )
     a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))

@@ -105,12 +105,14 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition features: the fraction of duplicate word
     2-grams / 3-grams inside each document (high values flag boilerplate
     and degenerate generations — a standard pre-training quality filter).
-    Pure higher-order array expressions: no explode, no shuffle, one
-    codegen projection per row."""
-    from docling_api_spark.operators.dedup import shingles
+    Pure higher-order array expressions: no explode, no shuffle; tokens
+    are materialized once as a column (shared by both gram sizes) because
+    the shingling transform re-evaluates inline subtrees per element —
+    see shingles_of_tokens."""
+    from docling_api_spark.operators.dedup import _tokens, shingles_of_tokens
 
     def dup_frac(n: int):
-        g = shingles(F.col(text_col), n)
+        g = shingles_of_tokens(F.col("_rep_toks"), n)
         return F.round(
             (F.lit(1.0)
              - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1))
@@ -119,8 +121,10 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     return (
-        df.withColumn("dup_2gram_frac", dup_frac(2))
+        df.withColumn("_rep_toks", _tokens(F.col(text_col)))
+        .withColumn("dup_2gram_frac", dup_frac(2))
         .withColumn("dup_3gram_frac", dup_frac(3))
+        .drop("_rep_toks")
     )
 
 
