@@ -167,7 +167,14 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float,
         _BC_REGISTRY.append(bc)
 
     id_df = emb.select(F.col(id_col).cast("long").alias("id"))
-    a = id_df.select(F.col("id").alias("id_a"))
+    # The streamed side of the BroadcastNestedLoopJoin inherits the id
+    # frame's input splits — a small corpus reads as ONE split, so the
+    # O(N²) pair generation AND the Python scoring stage would run on a
+    # single core (measured: the whole 2M-pair stage on 1 of 32 cores).
+    # Repartitioning the streamed ids (tiny: one long per row) fans the
+    # quadratic work across the cluster.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = id_df.repartition(par).select(F.col("id").alias("id_a"))
     b = id_df.select(F.col("id").alias("id_b"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     out_schema = T.StructType([
