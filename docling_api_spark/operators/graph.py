@@ -113,7 +113,13 @@ def connected_components(
                 ).alias("comp"),
             )
         )
-        # 2. pointer jump: comp <- comp[comp] (comp is always a node id)
+        # 2. pointer jump: comp <- comp[comp] (comp is always a node id).
+        # Exactly ONE jump per round: a second jump (comp <- comp[comp]
+        # again before the checkpoint) saves ~1 round of convergence but
+        # its extra self-join references the un-checkpointed round
+        # subtree again, and the duplicated lineage compounds across
+        # rounds — measured 37.2s vs 5.9s on the sf0.1 near-dup graph
+        # (920 edges). Don't retry.
         parents = stepped.select(F.col("id").alias("_pid"),
                                  F.col("comp").alias("_pcomp"))
         labels = (
