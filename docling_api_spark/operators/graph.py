@@ -87,15 +87,21 @@ def connected_components(
     )
     prev_sum = None
     for _ in range(max_iter):
-        # 1. neighbor step: per node, min over neighbor labels
-        nbr_min = (
+        # 1. neighbor step, FUSED: neighbor label candidates UNION each
+        # node's own label, then one groupBy-min. Replaces the groupBy +
+        # left-join-back shape (min over neighbors, then join onto
+        # labels) with a single partial-agg shuffle — the union's map
+        # side pre-mins before the exchange, and the self branch makes
+        # the left join's coalesce unnecessary. Measured 3.4s vs 5.6s
+        # cold / 2.8s vs 3.4s warm on the sf0.1 near-dup graph, identical
+        # labels, same round count.
+        nbr = (
             sym.join(
                 labels.select(F.col("id").alias("b"),
-                              F.col("comp").alias("_bcomp")),
+                              F.col("comp").alias("_c")),
                 "b",
             )
-            .groupBy("a")
-            .agg(F.min("_bcomp").alias("_nmin"))
+            .select(F.col("a").alias("id"), "_c")
         )
         # the round's label frame is LAZY-checkpointed below: it
         # materializes (and persists) during the convergence aggregate
@@ -105,13 +111,11 @@ def connected_components(
         # a per-round persist of the intermediate costs more than the
         # duplicated neighbor join saves — measured 11.1s vs 6.3s.)
         stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("_nmin"), F.col("comp"))
-                ).alias("comp"),
+            nbr.unionByName(
+                labels.select("id", F.col("comp").alias("_c"))
             )
+            .groupBy("id")
+            .agg(F.min("_c").alias("comp"))
         )
         # 2. pointer jump: comp <- comp[comp] (comp is always a node id).
         # Exactly ONE jump per round: a second jump (comp <- comp[comp]
