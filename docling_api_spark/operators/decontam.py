@@ -58,9 +58,13 @@ def ngram_decontaminate(
     # as its own column: the shingling transform re-evaluates an inline
     # subtree per element (no CSE inside lambdas, see shingles_of_tokens)
     # and n_grams rides along each exploded row, recovered with max()
-    # after the join (every row of one document carries the same size,
-    # and max stays deterministic even if an upstream feeds duplicate
-    # doc_ids), instead of a second scan-and-shingle subtree for totals
+    # after the join (every row of one document carries the same size),
+    # instead of a second scan-and-shingle subtree for totals. Contract:
+    # one row per doc_id — under duplicate ids max() is still
+    # deterministic but keeps ONE row's gram total while the distinct
+    # counts pool across rows (and the SQL oracle sums totals), so rates
+    # could exceed 1; unique ids are the corpus invariant upstream dedup
+    # enforces
     def grams_of(df):
         return df.select(
             F.col(id_col), _tokens(F.col(text_col)).alias("_toks")

@@ -96,6 +96,12 @@ def asof_join(
     """
     if _TS_FIELD in attach_cols:
         raise ValueError(f"attach column name {_TS_FIELD!r} is reserved")
+    # the tag and carried-struct columns are added to (and later dropped
+    # from) the unioned frame — a left column with either name would be
+    # silently overwritten and then removed from the output
+    for reserved in (_IS_RIGHT, _R_STRUCT):
+        if reserved in left.columns:
+            raise ValueError(f"left column name {reserved!r} is reserved")
     key = [on] if isinstance(on, str) else list(on)
     u = _tag_union(
         left,

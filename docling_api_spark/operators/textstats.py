@@ -111,6 +111,11 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     see shingles_of_tokens."""
     from docling_api_spark.operators.dedup import _tokens, shingles_of_tokens
 
+    if "_rep_toks" in df.columns:
+        # the scratch column would silently clobber (and then drop) the
+        # caller's column — same reserved-name contract as joins.asof_join
+        raise ValueError("column name '_rep_toks' is reserved")
+
     def dup_frac(n: int):
         g = shingles_of_tokens(F.col("_rep_toks"), n)
         return F.round(

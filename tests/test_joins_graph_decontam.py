@@ -159,6 +159,7 @@ def test_asof_join_null_right_ts_never_matches(spark):
     import datetime as dt
 
     import pytest as _pytest
+    from pyspark.sql import functions as F
 
     from docling_api_spark.operators.joins import asof_join
 
@@ -175,6 +176,20 @@ def test_asof_join_null_right_ts_never_matches(spark):
     assert row["r_ts"] is None and row["r_value"] is None
     with _pytest.raises(ValueError, match="reserved"):
         asof_join(left, right, on="user_id", attach_cols=("__asof_ts",))
+    # the internal tag/struct column names are reserved on the left too —
+    # a colliding user column would be silently clobbered then dropped
+    for clobber in ("_asof_is_right", "_asof_right_row"):
+        with _pytest.raises(ValueError, match="reserved"):
+            asof_join(
+                left.withColumn(clobber, F.lit(1)), right, on="user_id",
+                attach_cols=("value",),
+            )
+    from docling_api_spark.operators.textstats import with_repetition_stats
+    with _pytest.raises(ValueError, match="reserved"):
+        with_repetition_stats(
+            left.withColumn("_rep_toks", F.lit(1)).withColumn(
+                "text", F.lit("a b c")),
+        )
 
 
 def test_asof_join_tie_break_multi_col(spark):
