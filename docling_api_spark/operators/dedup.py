@@ -281,7 +281,11 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64; each output bit is the
     sign of the sum of per-token ±1 contributions. One explode + one
-    64-column conditional agg (all codegen'd)."""
+    64-column conditional agg (all codegen'd). A numpy mapInArrow variant
+    (JVM token hashes -> Arrow -> bit-matrix cumsum, bit-identical) was
+    measured SLOWER under interleaved trials at sf0.1 (median 1.66 s vs
+    1.22 s): the Arrow hop costs more than the 64 codegen'd sums save —
+    don't retry."""
     tok = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))

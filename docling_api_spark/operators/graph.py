@@ -134,6 +134,11 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
+        # (two more shapes measured NO better on the sf0.1 near-dup graph,
+        # interleaved min-of-3: convergence-check every 2nd round — 3.73 s
+        # vs 3.58 s, one extra round; and a lazy jump-ONLY compression
+        # round fused after each neighbor round — 4.42 s, 10 collects vs
+        # 11, the extra self-join outweighs the saved rounds. Don't retry.)
         # decimal(38,0) sum: comp is monotone non-increasing per node, so
         # an unchanged TRUE sum means a fixed point — but an int64 sum
         # over billions of long ids could wrap (non-ANSI mode wraps
