@@ -67,14 +67,6 @@ def shingles_of_tokens(toks, n: int = SHINGLE_WORDS):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def shingles(text_col, n: int = SHINGLE_WORDS):
-    """Word n-gram shingles via higher-order functions (no explode yet).
-    Convenience form over an inline text column — fine for tiny frames;
-    hot paths must materialize tokens and use
-    :func:`shingles_of_tokens` (see its docstring)."""
-    return shingles_of_tokens(_tokens(text_col), n)
-
-
 def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       n_hashes: int = MINHASH_HASHES,

@@ -56,10 +56,43 @@ def connected_components(
     loudly rather than return a partial clustering) — with pointer
     jumping, 50 rounds covers graphs astronomically deeper than any real
     dedup output.
+
+    Node ids must cast losslessly to long (min-label propagation needs a
+    totally ordered numeric id). A non-castable id (e.g. a string
+    'doc-123' or UUID) raises inside the first job rather than silently
+    casting to NULL and returning an empty clustering — callers with
+    string ids should ``zipWithIndex``/``monotonically_increasing_id``
+    a numeric surrogate first. Edges with a NULL endpoint are dropped
+    (a pair list never legitimately contains them).
     """
+
+    def _as_long(c: str):
+        raw = F.col(c)
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+        # cast raises its own opaque CAST_INVALID_INPUT mid-job, and
+        # under non-ANSI it silently NULLs — try_cast gives NULL in both
+        # modes so the branch below is the single, clearly-messaged
+        # error path regardless of session config
+        casted = raw.try_cast("long")
+        # fail LOUDLY on ids that do not survive the long cast: the
+        # NULLs would otherwise be filtered below and the operator would
+        # return an empty labels frame — "zero duplicate clusters" —
+        # with no error anywhere
+        return F.when(
+            raw.isNotNull() & casted.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "connected_components: node id does not cast to "
+                        "long (use a numeric surrogate id): "
+                    ),
+                    raw.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(casted)
+
     e = (
-        edges.select(F.col(src).cast("long").alias("a"),
-                     F.col(dst).cast("long").alias("b"))
+        edges.select(_as_long(src).alias("a"), _as_long(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
     # symmetrize by exploding both directions out of ONE pass — a

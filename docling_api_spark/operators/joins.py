@@ -92,7 +92,13 @@ def asof_join(
     Right rows with a NULL ``right_ts`` are dropped before the union —
     ``NULL <= t`` is never true, so they can match nothing (DuckDB ASOF
     agrees); without the filter they would sort NULLS FIRST and be
-    carried onto every left row with no real predecessor.
+    carried onto every left row with no real predecessor. Right rows
+    with a NULL in any KEY column are dropped for the same reason
+    (equality-join semantics: ``NULL = NULL`` is never true) — the
+    window's ``partitionBy`` would otherwise group all null-key rows
+    together and attach them to null-key left rows, which an ASOF/equi
+    join never does. Null-key LEFT rows survive with null attaches and
+    a zero count (left-outer semantics).
     """
     if _TS_FIELD in attach_cols:
         raise ValueError(f"attach column name {_TS_FIELD!r} is reserved")
@@ -102,10 +108,25 @@ def asof_join(
     for reserved in (_IS_RIGHT, _R_STRUCT):
         if reserved in left.columns:
             raise ValueError(f"left column name {reserved!r} is reserved")
+    # output columns must not clobber existing left columns: unionByName
+    # would fold right values into the left column and the final
+    # withColumn would silently overwrite it for every row
+    out_names = [prefix + right_ts] + [prefix + c for c in attach_cols]
+    if count_preceding_s is not None:
+        out_names.append(count_col)
+    for name in out_names:
+        if name in left.columns:
+            raise ValueError(
+                f"output column {name!r} already exists on the left frame; "
+                "pass a different prefix/count_col"
+            )
     key = [on] if isinstance(on, str) else list(on)
+    right_clean = right.filter(F.col(right_ts).isNotNull())
+    for k in key:
+        right_clean = right_clean.filter(F.col(k).isNotNull())
     u = _tag_union(
         left,
-        right.filter(F.col(right_ts).isNotNull()).select(
+        right_clean.select(
             *key,
             F.col(right_ts).alias(left_ts),
             *[F.col(c).alias(prefix + c) for c in attach_cols],
@@ -160,12 +181,22 @@ def range_interval_count(
     union + range-frame plan as :func:`asof_join` — one shuffle, no pair
     expansion. For ``upper_s = 0`` this is "right events in the preceding
     ``lower_s`` seconds, strictly before the left event". NULL-``right_ts``
-    rows are dropped (they fall in no interval)."""
+    rows are dropped (they fall in no interval), as are null-KEY right
+    rows (``NULL = NULL`` is never true in an equality join — see
+    :func:`asof_join`); null-key left rows survive with count 0."""
     key = [on] if isinstance(on, str) else list(on)
+    if _IS_RIGHT in left.columns:
+        raise ValueError(f"left column name {_IS_RIGHT!r} is reserved")
+    if count_col in left.columns:
+        raise ValueError(
+            f"output column {count_col!r} already exists on the left frame"
+        )
+    right_clean = right.filter(F.col(right_ts).isNotNull())
+    for k in key:
+        right_clean = right_clean.filter(F.col(k).isNotNull())
     u = _tag_union(
         left,
-        right.filter(F.col(right_ts).isNotNull())
-        .select(*key, F.col(right_ts).alias(left_ts)),
+        right_clean.select(*key, F.col(right_ts).alias(left_ts)),
     )
     w_range = (
         Window.partitionBy(*key)

@@ -149,6 +149,11 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float,
     order = np.argsort(pdf["id"].to_numpy(), kind="stable")
     ids = pdf["id"].to_numpy()[order]
     mat = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
+    if mat.shape[1] == 0:
+        raise ValueError(
+            "exact_cosine_pairs: embeddings are zero-dimensional "
+            "(empty arrays) — cosine similarity is undefined"
+        )
     # evict broadcasts from prior calls so a long-lived session invoking
     # this repeatedly doesn't pin one corpus copy per call on the
     # executors. unpersist (NOT destroy) is safe for still-referenced
@@ -166,7 +171,15 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float,
                 pass  # broadcast from a stopped SparkContext
         _BC_REGISTRY.append(bc)
 
-    id_df = emb.select(F.col(id_col).cast("long").alias("id"))
+    # Build the pair-generation id frame FROM THE DRIVER SNAPSHOT, not by
+    # re-selecting from `emb`: a second distributed scan would (a)
+    # re-evaluate the whole upstream subtree — an extra full pass when
+    # emb is a computed frame rather than a parquet scan — and (b) race a
+    # non-deterministic upstream (sample/limit) into ids absent from the
+    # broadcast matrix, which searchsorted would silently score against
+    # the WRONG vector. The snapshot ids are already on the driver; this
+    # guarantees the kernel's gather indices are always exact.
+    id_df = spark.createDataFrame(pdf[["id"]].astype({"id": "int64"}))
     # The streamed side of the BroadcastNestedLoopJoin inherits the id
     # frame's input splits — a small corpus reads as ONE split, so the
     # O(N²) pair generation AND the Python scoring stage would run on a
@@ -193,6 +206,19 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float,
                 continue
             ia = np.searchsorted(ids_w, pdf_b["id_a"].to_numpy())
             ib = np.searchsorted(ids_w, pdf_b["id_b"].to_numpy())
+            # defense in depth: ids now come from the same snapshot as
+            # the broadcast, so a miss is impossible by construction —
+            # but a silent wrong-vector gather is the worst failure mode
+            # an ANN ground-truth baseline can have, so assert anyway
+            if (ia >= len(ids_w)).any() or (ib >= len(ids_w)).any() or \
+                    (ids_w[np.minimum(ia, len(ids_w) - 1)]
+                     != pdf_b["id_a"].to_numpy()).any() or \
+                    (ids_w[np.minimum(ib, len(ids_w) - 1)]
+                     != pdf_b["id_b"].to_numpy()).any():
+                raise RuntimeError(
+                    "exact_cosine_pairs: pair id missing from the "
+                    "broadcast corpus snapshot"
+                )
             dot = _seq_dot(mat_w[ia], mat_w[ib])
             raw = dot / np.maximum(norms[ia] * norms[ib], 1e-12)
             yield pd.DataFrame({

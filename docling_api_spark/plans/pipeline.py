@@ -388,7 +388,15 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
                     my_trash = (trash_root
                                 / f"vac-{os.getpid()}-{time.monotonic_ns()}")
                     my_trash.mkdir(parents=True, exist_ok=True)
-                d.rename(my_trash / d.name)
+                try:
+                    d.rename(my_trash / d.name)
+                except FileNotFoundError:
+                    # a concurrent vacuum's phase 0 aged out OUR subdir
+                    # (this vacuum stalled > _TRASH_MIN_AGE between
+                    # renames) — recreate and retry rather than abort
+                    # the settle mid-mutation
+                    my_trash.mkdir(parents=True, exist_ok=True)
+                    d.rename(my_trash / d.name)
                 removed.append(d.name)
                 leases.pop(rid, None)
                 retired.discard(rid)

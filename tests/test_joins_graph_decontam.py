@@ -192,6 +192,76 @@ def test_asof_join_null_right_ts_never_matches(spark):
         )
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """Equality-join semantics: NULL = NULL is never true — a null-key
+    right row must not attach to a null-key left row (the window's
+    partitionBy would otherwise group them), and null-key left rows
+    survive with null attaches / zero counts (left-outer)."""
+    import datetime as dt
+
+    from docling_api_spark.operators.joins import (asof_join,
+                                                   range_interval_count)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(0, None, t0), (1, 7, t0)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, t0 - dt.timedelta(minutes=1), 9.0),
+         (7, t0 - dt.timedelta(minutes=1), 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on="user_id", attach_cols=("value",), prefix="r_",
+            count_preceding_s=600, count_col="n_prev",
+        ).collect()
+    }
+    assert rows[0]["r_value"] is None and rows[0]["n_prev"] == 0
+    assert rows[1]["r_value"] == 3.0 and rows[1]["n_prev"] == 1
+    counts = {
+        r["event_id"]: r["n_in_range"]
+        for r in range_interval_count(
+            left, right, on="user_id", lower_s=600,
+        ).collect()
+    }
+    assert counts == {0: 0, 1: 1}
+
+
+def test_asof_join_output_clobber_raises(spark):
+    """An output column name (prefix+attach / prefix+ts / count_col)
+    colliding with an existing left column must raise, not silently
+    overwrite it (unionByName would fold right values into it)."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.joins import (asof_join,
+                                                   range_interval_count)
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(0, 7, t0)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, t0, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    for clobber in ("asof_value", "asof_ts"):
+        with _pytest.raises(ValueError, match="already exists"):
+            asof_join(left.withColumn(clobber, F.lit(1)), right,
+                      on="user_id", attach_cols=("value",))
+    with _pytest.raises(ValueError, match="already exists"):
+        asof_join(left.withColumn("n_right_preceding", F.lit(1)), right,
+                  on="user_id", attach_cols=("value",),
+                  count_preceding_s=60)
+    with _pytest.raises(ValueError, match="already exists"):
+        range_interval_count(left.withColumn("n_in_range", F.lit(1)),
+                             right, on="user_id")
+
+
 def test_asof_join_tie_break_multi_col(spark):
     """Duplicate right timestamps resolve to the max attach TUPLE
     (struct field order = attach_cols order), deterministically."""
@@ -269,6 +339,25 @@ def test_cc_randomized(spark):
     rng = random.Random(1234)
     edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
     _cc_case(spark, edges)
+
+
+def test_cc_non_numeric_ids_raise(spark):
+    """String node ids that do not cast to long must raise inside the
+    first job — the silent alternative (cast -> NULL -> all edges
+    filtered) reports 'zero duplicate clusters' with no error."""
+    import pytest as _pytest
+
+    from docling_api_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(
+        [("doc-1", "doc-2")], "id_a string, id_b string"
+    )
+    with _pytest.raises(Exception, match="does not cast to long"):
+        connected_components(df).collect()
+    # numeric strings are fine (lossless cast)
+    ok = spark.createDataFrame([("1", "2")], "id_a string, id_b string")
+    got = {r["id"]: r["comp"] for r in connected_components(ok).collect()}
+    assert got == {1: 1, 2: 1}
 
 
 def test_cluster_assignments(spark):
@@ -366,6 +455,20 @@ def test_exact_cosine_pairs_empty_corpus(spark):
     out = exact_cosine_pairs(emb, 0.4)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_exact_cosine_pairs_zero_dim_raises(spark):
+    """Zero-dimensional (empty-array) embeddings must raise a clear
+    validation error, not an IndexError inside every scoring task."""
+    import pytest as _pytest
+
+    from docling_api_spark.operators.similarity import exact_cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(1, []), (2, [])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="zero-dimensional"):
+        exact_cosine_pairs(emb, 0.4)
 
 
 def test_ngram_decontaminate_randomized(spark):
