@@ -74,17 +74,27 @@ def connected_components(
         # modes so the branch below is the single, clearly-messaged
         # error path regardless of session config
         casted = raw.try_cast("long")
-        # fail LOUDLY on ids that do not survive the long cast: the
-        # NULLs would otherwise be filtered below and the operator would
-        # return an empty labels frame — "zero duplicate clusters" —
-        # with no error anywhere
+        # fail LOUDLY on ids that do not survive the long cast
+        # LOSSLESSLY: a NULL-producing cast (string 'doc-123') would
+        # otherwise be filtered below and the operator would return an
+        # empty labels frame — "zero duplicate clusters" with no error —
+        # and a TRUNCATING cast (double 1.2 and 1.7 both -> 1) would
+        # silently merge distinct nodes. The round-trip-through-double
+        # equality check catches truncation for every numeric input
+        # type (both sides pass through the same double conversion, so
+        # >2^53 longs compare equal to themselves).
+        bad = raw.isNotNull() & (
+            casted.isNull()
+            | (casted.cast("double") != raw.cast("double"))
+        )
         return F.when(
-            raw.isNotNull() & casted.isNull(),
+            bad,
             F.raise_error(
                 F.concat(
                     F.lit(
-                        "connected_components: node id does not cast to "
-                        "long (use a numeric surrogate id): "
+                        "connected_components: node id does not cast "
+                        "losslessly to long (use a numeric surrogate "
+                        "id): "
                     ),
                     raw.cast("string"),
                 )

@@ -106,16 +106,24 @@ def asof_join(
     # from) the unioned frame — a left column with either name would be
     # silently overwritten and then removed from the output
     for reserved in (_IS_RIGHT, _R_STRUCT):
-        if reserved in left.columns:
+        if reserved.lower() in {c.lower() for c in left.columns}:
             raise ValueError(f"left column name {reserved!r} is reserved")
     # output columns must not clobber existing left columns: unionByName
     # would fold right values into the left column and the final
-    # withColumn would silently overwrite it for every row
+    # withColumn would silently overwrite it for every row. Compare
+    # case-insensitively (Spark resolves names case-insensitively by
+    # default, so a differently-cased left column would still be
+    # clobbered), and also reject output names equal to the internal
+    # scratch columns — the final drop() would silently remove them.
     out_names = [prefix + right_ts] + [prefix + c for c in attach_cols]
     if count_preceding_s is not None:
         out_names.append(count_col)
+    left_lower = {c.lower() for c in left.columns}
+    reserved_lower = {_IS_RIGHT.lower(), _R_STRUCT.lower()}
     for name in out_names:
-        if name in left.columns:
+        if name.lower() in reserved_lower:
+            raise ValueError(f"output column name {name!r} is reserved")
+        if name.lower() in left_lower:
             raise ValueError(
                 f"output column {name!r} already exists on the left frame; "
                 "pass a different prefix/count_col"
@@ -185,9 +193,12 @@ def range_interval_count(
     rows (``NULL = NULL`` is never true in an equality join — see
     :func:`asof_join`); null-key left rows survive with count 0."""
     key = [on] if isinstance(on, str) else list(on)
-    if _IS_RIGHT in left.columns:
+    left_lower = {c.lower() for c in left.columns}
+    if _IS_RIGHT.lower() in left_lower:
         raise ValueError(f"left column name {_IS_RIGHT!r} is reserved")
-    if count_col in left.columns:
+    if count_col.lower() == _IS_RIGHT.lower():
+        raise ValueError(f"output column name {count_col!r} is reserved")
+    if count_col.lower() in left_lower:
         raise ValueError(
             f"output column {count_col!r} already exists on the left frame"
         )

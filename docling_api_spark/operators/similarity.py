@@ -146,8 +146,22 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float,
     if len(pdf) == 0:
         # np.vstack rejects zero arrays; an empty corpus has no pairs
         return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    if pdf["id"].isna().any():
+        raise ValueError(
+            f"exact_cosine_pairs: {id_col!r} contains nulls or values "
+            "that do not cast to long — use a numeric surrogate id"
+        )
     order = np.argsort(pdf["id"].to_numpy(), kind="stable")
     ids = pdf["id"].to_numpy()[order]
+    # strict uniqueness makes the searchsorted gather exact BY
+    # CONSTRUCTION: a duplicated id would gather the leftmost copy's
+    # vector for both rows and double-emit its pairs — silently wrong
+    # ground truth for the ANN recall floors
+    if len(ids) > 1 and not (np.diff(ids) > 0).all():
+        raise ValueError(
+            f"exact_cosine_pairs: duplicate {id_col!r} values in the "
+            "corpus — ids must be unique"
+        )
     mat = np.vstack(pdf["v"].to_numpy()[order]).astype(np.float64)
     if mat.shape[1] == 0:
         raise ValueError(

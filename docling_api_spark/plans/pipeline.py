@@ -388,15 +388,26 @@ def vacuum(output_dir: str, grace_seconds: float = 86400.0,
                     my_trash = (trash_root
                                 / f"vac-{os.getpid()}-{time.monotonic_ns()}")
                     my_trash.mkdir(parents=True, exist_ok=True)
-                try:
-                    d.rename(my_trash / d.name)
-                except FileNotFoundError:
-                    # a concurrent vacuum's phase 0 aged out OUR subdir
-                    # (this vacuum stalled > _TRASH_MIN_AGE between
-                    # renames) — recreate and retry rather than abort
-                    # the settle mid-mutation
-                    my_trash.mkdir(parents=True, exist_ok=True)
-                    d.rename(my_trash / d.name)
+                # a concurrent vacuum's phase 0 can age out OUR subdir
+                # (this vacuum stalled > _TRASH_MIN_AGE between renames)
+                # — retry with a FRESH subdir (fresh mkdir resets its
+                # age) rather than abort the settle mid-mutation; if the
+                # SOURCE dir vanished instead (reclaimed externally),
+                # fall through and settle its entries anyway.
+                for _attempt in range(3):
+                    try:
+                        d.rename(my_trash / d.name)
+                        break
+                    except FileNotFoundError:
+                        if not d.exists():
+                            break  # source gone: nothing left to move
+                        my_trash = (
+                            trash_root
+                            / f"vac-{os.getpid()}-{time.monotonic_ns()}"
+                        )
+                        my_trash.mkdir(parents=True, exist_ok=True)
+                else:
+                    d.rename(my_trash / d.name)  # out of retries: raise
                 removed.append(d.name)
                 leases.pop(rid, None)
                 retired.discard(rid)

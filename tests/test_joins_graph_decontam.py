@@ -260,6 +260,22 @@ def test_asof_join_output_clobber_raises(spark):
     with _pytest.raises(ValueError, match="already exists"):
         range_interval_count(left.withColumn("n_in_range", F.lit(1)),
                              right, on="user_id")
+    # Spark resolves column names case-insensitively by default, so a
+    # differently-cased left column would still be clobbered
+    with _pytest.raises(ValueError, match="already exists"):
+        asof_join(left.withColumn("Asof_Value", F.lit(1)), right,
+                  on="user_id", attach_cols=("value",))
+    # an output name equal to an internal scratch column would be
+    # consumed by the final drop()/filter — reserved in both operators
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="user_id", attach_cols=("value",),
+                  count_preceding_s=60, count_col="_asof_is_right")
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="user_id",
+                  attach_cols=("asof_right_row",), prefix="_")
+    with _pytest.raises(ValueError, match="reserved"):
+        range_interval_count(left, right, on="user_id",
+                             count_col="_asof_is_right")
 
 
 def test_asof_join_tie_break_multi_col(spark):
@@ -352,11 +368,20 @@ def test_cc_non_numeric_ids_raise(spark):
     df = spark.createDataFrame(
         [("doc-1", "doc-2")], "id_a string, id_b string"
     )
-    with _pytest.raises(Exception, match="does not cast to long"):
+    with _pytest.raises(Exception, match="does not cast"):
         connected_components(df).collect()
     # numeric strings are fine (lossless cast)
     ok = spark.createDataFrame([("1", "2")], "id_a string, id_b string")
     got = {r["id"]: r["comp"] for r in connected_components(ok).collect()}
+    assert got == {1: 1, 2: 1}
+    # fractional ids TRUNCATE under a plain long cast (1.2 and 1.7 both
+    # -> 1, silently merging distinct nodes) — must raise instead
+    frac = spark.createDataFrame([(1.2, 1.7)], "id_a double, id_b double")
+    with _pytest.raises(Exception, match="does not cast"):
+        connected_components(frac).collect()
+    # integral doubles are lossless and fine
+    okd = spark.createDataFrame([(1.0, 2.0)], "id_a double, id_b double")
+    got = {r["id"]: r["comp"] for r in connected_components(okd).collect()}
     assert got == {1: 1, 2: 1}
 
 
@@ -469,6 +494,28 @@ def test_exact_cosine_pairs_zero_dim_raises(spark):
     )
     with _pytest.raises(ValueError, match="zero-dimensional"):
         exact_cosine_pairs(emb, 0.4)
+
+
+def test_exact_cosine_pairs_bad_ids_raise(spark):
+    """Duplicate or null ids would make the searchsorted gather silently
+    score the wrong vector (and double-emit pairs) — the ground-truth
+    baseline must reject them loudly."""
+    import pytest as _pytest
+
+    from docling_api_spark.operators.similarity import exact_cosine_pairs
+
+    dup = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        exact_cosine_pairs(dup, 0.4)
+    withnull = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="nulls"):
+        exact_cosine_pairs(withnull, 0.4)
 
 
 def test_ngram_decontaminate_randomized(spark):
