@@ -614,7 +614,15 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    exact = cosine_topk(emb, queries, k=3).select("query_id", "cand_id")
+    # materialize the exact baseline ONCE: it is referenced four times
+    # below (hits join + total, per method) and the O(N·Q) corpus scan
+    # would otherwise be re-evaluated each time — the classic recomputed-
+    # subtree scale hazard on the most expensive input of this query
+    exact = (
+        cosine_topk(emb, queries, k=3)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
 
     def row(method: str, ann: DataFrame) -> DataFrame:
         hits = exact.join(
@@ -1179,9 +1187,15 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": """
             WITH g AS (
                 SELECT user_id, event_id, ts,
+                       -- floor(epoch(..)) not CAST(epoch(..) AS BIGINT):
+                       -- DuckDB's cast ROUNDS to nearest second while
+                       -- Spark's unix_timestamp FLOORS — on sub-second
+                       -- timestamps the rounded gap crosses the 1800 s
+                       -- boundary one row earlier/later than the floored
+                       -- gap and every later session id diverges
                        CASE WHEN lag(ts) OVER w IS NULL
-                              OR CAST(epoch(ts) AS BIGINT)
-                                 - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 1800
+                              OR CAST(floor(epoch(ts)) AS BIGINT)
+                                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -1223,9 +1237,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (
                        PARTITION BY user_id, date_trunc('hour', ts)
                    ) AS n_in_hour,
+                   -- floor(epoch(..)): DuckDB's BIGINT cast rounds to the
+                   -- nearest second, Spark's unix_timestamp floors —
+                   -- rounding shifts sub-second timestamps across the
+                   -- 3600 s range-frame edge (2 rows diverge at sf0.1)
                    count(*) OVER (
                        PARTITION BY user_id
-                       ORDER BY CAST(epoch(ts) AS BIGINT)
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
                    ) AS n_last_hour
             FROM events

@@ -6,7 +6,9 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
   run     --input <transcripts parquet/dir> --output <dir> [--snapshot S]
   resume  (same as run: the manifest makes every run a resume)
   status  --output <dir>
-  bench   (delegates to bench.py's main)
+  compact --output <dir> [--vacuum]   (fold small files; optionally vacuum)
+
+Benchmarks live in bench.py at the repo root (not a subcommand here).
 """
 
 from __future__ import annotations

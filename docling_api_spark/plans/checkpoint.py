@@ -61,9 +61,30 @@ class Manifest:
             return {"runs": [], "buckets": [], "run_counter": 0,
                     "inflight": {}, "retired": []}
         state = json.loads(self.path.read_text())
-        # back-compat: older manifests counted runs by list length
-        state.setdefault("run_counter", len(state["runs"]))
         state.setdefault("retired", [])
+        if "run_counter" not in state:
+            # back-compat migration: the pre-counter era burned ids that
+            # len(runs) does NOT count (compaction collapses runs to one
+            # entry; crashed runs never appear) — seeding with the list
+            # length would REUSE an id whose dir still exists and
+            # resurrect its stale rows into the re-committed partitions.
+            # Seed from the max numeric suffix across every id we can
+            # still see: runs, retired entries, and on-disk data dirs.
+            def _suffix(rid: str) -> int:
+                try:
+                    return int(rid.rsplit("-", 1)[1])
+                except (IndexError, ValueError):
+                    return -1
+
+            known = [r["run_id"] for r in state["runs"]]
+            known += list(state["retired"])
+            data = self.dir / "data"
+            if data.exists():
+                known += [d.name.split("=", 1)[1]
+                          for d in data.glob("run_id=*")]
+            state["run_counter"] = 1 + max(
+                (_suffix(r) for r in known), default=-1
+            )
         inflight = state.setdefault("inflight", {})
         if isinstance(inflight, list):  # pre-timestamp lease format:
             # stamp with the manifest file's mtime — a STABLE historical
@@ -132,7 +153,10 @@ class Manifest:
                         f"commit got {n_buckets}"
                     )
                 state["n_buckets"] = n_buckets
-            new = [b for b in buckets if b not in set(state["buckets"])]
+            done = set(state["buckets"])  # hoisted: the comprehension
+            # would otherwise rebuild the set per bucket (O(B²) while
+            # holding the exclusive manifest lock)
+            new = [b for b in buckets if b not in done]
             state["runs"].append(
                 {"run_id": run_id, "snapshot_id": snapshot_id, "buckets": new}
             )
@@ -227,12 +251,24 @@ def committed_view(spark, output_dir: str):
     from functools import reduce
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     m = Manifest(output_dir)
     runs = [r for r in m.runs() if r["buckets"]]
-    df = manifest_data_reader(spark, m).parquet(f"{output_dir}/data")
     if not runs:
-        return df.limit(0)
+        # zero committed runs: return an empty frame WITHOUT touching
+        # the data path — on a fresh output dir the parquet reader would
+        # raise PATH_NOT_FOUND before reaching any limit(0)
+        schema_json = m.data_schema_json()
+        if schema_json:
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(schema_json))
+            )
+        data = pathlib.Path(output_dir) / "data"
+        if data.exists():
+            return spark.read.parquet(f"{output_dir}/data").limit(0)
+        return spark.createDataFrame([], T.StructType([]))
+    df = manifest_data_reader(spark, m).parquet(f"{output_dir}/data")
     cond = reduce(
         lambda a, b: a | b,
         [

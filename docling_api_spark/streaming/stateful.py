@@ -48,6 +48,9 @@ def _track(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     turns, errors, max_idx = state.get if state.exists else (0, 0, -1)
     complete = False
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue  # int(nan) from an empty chunk's max() would kill
+            # the streaming query
         turns += len(pdf)
         if "status" in pdf.columns:
             errors += int((pdf["status"] == "error").sum())

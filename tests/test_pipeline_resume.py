@@ -120,6 +120,40 @@ def test_crashed_run_id_is_burned_not_reused(spark, transcripts, tmp_path):
     assert s["run_id"] not in m.inflight()  # settled by commit
 
 
+def test_committed_view_on_fresh_dir(spark, tmp_path):
+    """committed_view on an output dir where no run ever wrote must
+    return an empty frame, not raise PATH_NOT_FOUND from the parquet
+    reader (the guard has to run BEFORE the data-path read)."""
+    from docling_api_spark.plans.checkpoint import committed_view
+
+    out = tmp_path / "never_written"
+    assert committed_view(spark, str(out)).count() == 0
+
+
+def test_legacy_manifest_migration_burns_retired_ids(tmp_path):
+    """Migrating a pre-run_counter manifest must seed the counter past
+    every id still visible in runs, retired entries, and on-disk data
+    dirs — len(runs) would recycle ids burned by compaction/crashes and
+    resurrect their stale rows."""
+    import json as _json
+
+    from docling_api_spark.plans.checkpoint import Manifest
+
+    out = tmp_path / "out"
+    out.mkdir()
+    # a compacted pre-counter manifest: one surviving run, two retired
+    (out / "manifest.json").write_text(_json.dumps({
+        "runs": [{"run_id": "run-0002", "snapshot_id": "s", "buckets": [0]}],
+        "buckets": [0],
+        "retired": ["run-0000", "run-0001"],
+    }))
+    # plus an orphan dir from a crashed run that burned a later id
+    (out / "data" / "run_id=run-0005").mkdir(parents=True)
+    m = Manifest(str(out))
+    assert m._read()["run_counter"] == 6
+    assert m.next_run_id() == "run-0006"
+
+
 def test_noop_resume_reserves_no_id(spark, transcripts, tmp_path):
     from docling_api_spark.plans.checkpoint import Manifest
     from docling_api_spark.plans.pipeline import run_extraction
