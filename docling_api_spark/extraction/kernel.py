@@ -107,14 +107,38 @@ def doc_json_str(payload_kind: str, pages: int, n_nodes: int, items: list) -> st
 # executor-side analog of the reference's model-cache volume S8)
 # ---------------------------------------------------------------------------
 
-# group 1 = comment, 2 = tag, 3 = text run, 4 = stray '<' (unclosed at EOF
-# or before another '<'). The alternation is TOTAL — every character of the
-# input is consumed by exactly one token — which lets the parser track
-# offsets with a running position instead of match objects, so it can use
-# findall (C-built tuples, no 2.6M .group() calls per million tokens).
-# A stray '<' is consumed and dropped, matching the old finditer behavior
-# of simply not matching it.
-_SCANNER = re.compile(r"(<!--.*?-->)|(<[^>]*>)|([^<]+)|(<)", re.DOTALL)
+# group 1 = comment, 2 = tag, 3 = text run, 4 = stray '<'. The
+# alternation is TOTAL — every character of the input is consumed by
+# exactly one token — which lets the parser track offsets with a running
+# position instead of match objects, so it can use findall (C-built
+# tuples, no 2.6M .group() calls per million tokens).
+# The tag alternative mirrors the HTML tokenizer's tag-open rule:
+#  (a) a real tag starts '<' + optional '/' + LETTER, and a '>' inside a
+#      quoted attribute value does NOT end it ('<div data-x="a>b">' is
+#      one tag). The quote-aware body's alternatives are disjoint on
+#      their first character and carry NO trailing [^>]* (that
+#      combination is what makes matching AND failing linear — no
+#      backtracking blowup on hostile quote runs). Quote interiors
+#      exclude '<': a "quoted" region that crosses into markup is far
+#      more likely a bare apostrophe in an unquoted attribute value
+#      ('<a title=it's x=1>') than a legitimate value, and following it
+#      would swallow real content past the tag end — such tags (and
+#      quoted values legitimately containing '<') degrade to (b);
+#  (b) a tag whose quote structure does not resolve falls back to the
+#      first-'>' rule (best-effort: the spec would consume to EOF);
+#  (c) '<!...>', '<?...>', '</'+non-letter consume to '>' and parse to
+#      no tag (doctype/PI/bogus-comment — contribute nothing).
+# A '<' before anything else (spec: a character token) is group 4 and is
+# emitted as LITERAL TEXT — 'price<10' must not glue to 'price10'.
+_SCANNER = re.compile(
+    r"(<!--.*?-->)"
+    r"|(</?[a-zA-Z][^>\"']*(?:(?:\"[^\"<]*\"|'[^'<]*')[^>\"']*)*>"
+    r"|</?[a-zA-Z][^>]*>"
+    r"|<[!?/][^>]*>)"
+    r"|([^<]+)"
+    r"|(<)",
+    re.DOTALL,
+)
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _BASE64_RE = re.compile(r"[A-Za-z0-9+/]+={0,2}")
 _MD_MARKER = re.compile(r"^(#{1,6} |```|[-*] |\d+\. )", re.MULTILINE)
@@ -129,6 +153,10 @@ _BLOCK_TAGS = frozenset(
      "h1", "h2", "h3", "h4", "h5", "h6", "br", "hr"]
 )
 _CHROME_TAGS = frozenset(["nav", "header", "footer", "aside"])
+# table-structure tags that must reach the table branches even while a
+# cell is collecting (nested tables / implied cell closes)
+_TABLE_CTRL_TAGS = frozenset(["table", "thead", "tbody", "tfoot",
+                              "tr", "td", "th"])
 _SKIP_TAGS = frozenset(["script", "style", "noscript", "template", "head", "svg"])
 # RAWTEXT elements per the HTML parsing model: their content is literal
 # text until the matching close tag — tags inside NEVER open or close
@@ -143,7 +171,12 @@ _RAWTEXT_TAGS = frozenset(["script", "style"])
 # tokenizer's first-'>' rule when a quote is unterminated so mask and
 # scanner always agree on where the rawtext body starts.
 _MASK_SPECIAL = re.compile(r"(?is)<!--|<(script|style)\b")
-_OPEN_TAG_END = re.compile(r"(?:[^>\"']|\"[^\"]*\"|'[^']*')*>")
+# IDENTICAL quote structure to the scanner's tag alternative (incl. the
+# '<'-excluding quote interiors) so mask and scanner always resolve the
+# same end for a rawtext open tag
+_OPEN_TAG_END = re.compile(
+    r"[^>\"']*(?:(?:\"[^\"<]*\"|'[^'<]*')[^>\"']*)*>"
+)
 _OPEN_TAG_END_LOOSE = re.compile(r"[^>]*>")
 # close tags may carry (ignored) attributes per the spec's end-tag-open
 # handling: '</script foo>' still closes — \b keeps name matching aligned
@@ -178,7 +211,19 @@ def _mask_rawtext(text: str) -> str:
     while m is not None:
         if m.group(1) is None:  # '<!--'
             e = text.find("-->", m.end())
-            pos = len(text) if e < 0 else e + 3
+            if e < 0:
+                # spec: an unterminated comment comments out the REST of
+                # the input. Mask it (comment open included) — otherwise
+                # the scanner, whose comment token requires '-->', falls
+                # back to tag/text tokenizing inside: a '<script>' after
+                # the comment open would start an UNMASKED rawtext region
+                # and eat the document, and commented-out text would leak
+                # into extracted content.
+                parts.append(text[last:m.start()])
+                parts.append(" " * (len(text) - m.start()))
+                last = len(text)
+                break
+            pos = e + 3
         else:
             tag_end = (_OPEN_TAG_END.match(text, m.end())
                        or _OPEN_TAG_END_LOOSE.match(text, m.end()))
@@ -289,7 +334,7 @@ class _Block:
 
 class _Table:
     __slots__ = ("node_id", "rows", "cur_row", "header_rows", "in_thead",
-                 "chrome", "start", "end")
+                 "chrome", "start", "end", "outer_cell")
 
     def __init__(self, node_id: int, chrome: bool):
         self.node_id = node_id
@@ -300,6 +345,11 @@ class _Table:
         self.chrome = chrome
         self.start = -1
         self.end = -1
+        # the enclosing table cell a NESTED table interrupted, restored
+        # when this table closes — without it the inner table's cells
+        # clobber the single `cell` slot and the outer cell's content
+        # leaks out as stray paragraphs
+        self.outer_cell: "_Block | None" = None
 
 
 # tag-token parse memo: tag strings repeat heavily (nav links, <p>, </p>,
@@ -337,7 +387,30 @@ def _parse_html(text: str):
         return b
 
     def close_block():
+        # inside a table cell, "closing" a block resumes collecting into
+        # the cell (a cell is one flat text in the pipe-markdown model);
+        # outside a cell this is plain cur = None
         nonlocal cur
+        cur = cell
+
+    def flush_cell():
+        """Append the live cell's text to the current row — used by the
+        explicit </td>/</th> close AND the spec's implied closes (a new
+        <td>/<tr> open, </table>, EOF), which would otherwise silently
+        discard the unflushed cell."""
+        nonlocal cell, cur
+        if cell is None:
+            return
+        if table_stack:
+            t = table_stack[-1]
+            if t.cur_row is None:
+                t.cur_row = []
+            t.cur_row.append(cell.text())
+            if cell.start >= 0:
+                if t.start < 0:
+                    t.start = cell.start
+                t.end = max(t.end, cell.end)
+        cell = None
         cur = None
 
     pos = 0
@@ -368,8 +441,26 @@ def _parse_html(text: str):
             if a_depth > 0:
                 b.link_len += len(_norm(unescaped))
             continue
-        if not tag_tok:  # comment or stray '<': consumed, contributes nothing
-            pos += len(_cmt) if _cmt else 1
+        if not tag_tok:
+            if _cmt:  # comment: consumed, contributes nothing
+                pos += len(_cmt)
+                continue
+            # stray '<' (spec: a '<' not opening a tag is a character
+            # token) — literal text, NOT dropped: 'price<10' must keep
+            # its '<' or the surrounding runs glue into 'price10'
+            tok_start = pos
+            pos += 1
+            if skip_depth:
+                continue
+            b = cur if cur is not None else open_block("para")
+            if b.start < 0:
+                b.start = tok_start
+            b.end = pos
+            b.parts.append("<")
+            if b.kind == "code":
+                b.raw_parts.append("<")
+            if a_depth > 0:
+                b.link_len += 1
             continue
         tok = tag_tok
         pos += len(tok)
@@ -389,6 +480,23 @@ def _parse_html(text: str):
             continue
         name, closing, selfclose = info
         if not closing:
+            # block-level markup INSIDE a table cell (other than nested
+            # tables and the table-control tags, handled below): the cell
+            # keeps collecting — a cell is one flat text in the pipe-
+            # markdown model — with a space separator so '<td>a</p><p>b'
+            # does not glue words. Without this, open_block would steal
+            # `cur` from the cell and the cell's content would leak out
+            # as stray paragraphs after the table.
+            if (
+                cell is not None and not skip_depth
+                and name not in _TABLE_CTRL_TAGS
+                and (name in _BLOCK_TAGS or name in _HEADING_TAGS
+                     or name == "title")
+            ):
+                cell.parts.append(" ")
+                if not selfclose and name not in ("br", "hr"):
+                    stack.append(name)
+                continue
             # hot common tags first (p / a / li dominate real payloads)
             if name == "p" and not skip_depth:
                 open_block("para")
@@ -436,8 +544,13 @@ def _parse_html(text: str):
                 close_block()
                 continue
             if name == "table":
-                close_block()
                 nonlocal_t = _Table(next_id, chrome_depth > 0)
+                # a table opening INSIDE a cell suspends that cell (and
+                # the pipe-markdown model cannot nest, so the inner table
+                # becomes its own node); the cell resumes at </table>
+                nonlocal_t.outer_cell = cell
+                cell = None
+                close_block()
                 next_id += 1
                 table_stack.append(nonlocal_t)
                 nodes.append(nonlocal_t)
@@ -447,9 +560,23 @@ def _parse_html(text: str):
                 t = table_stack[-1]
                 if name == "thead":
                     t.in_thead = True
+                elif name in ("tbody", "tfoot"):
+                    # spec: <tbody>/<tfoot> implies </thead> — without
+                    # the reset every data row after an unclosed thead
+                    # would be counted a header row
+                    t.in_thead = False
                 elif name == "tr":
+                    flush_cell()          # implied </td> of the prior cell
+                    if t.cur_row is not None:
+                        # implied </tr>: a new row opening with the prior
+                        # row unflushed must not discard it (tr end tags
+                        # are optional per spec)
+                        t.rows.append(t.cur_row)
+                        if t.in_thead:
+                            t.header_rows = len(t.rows)
                     t.cur_row = []
                 elif name in ("td", "th"):
+                    flush_cell()          # implied </td> of the prior cell
                     if t.cur_row is None:
                         t.cur_row = []
                     cell = _Block(-1, "cell", len(stack), t.chrome)
@@ -526,6 +653,10 @@ def _parse_html(text: str):
                         rawtext_tag = None
                 elif top in _CHROME_TAGS:
                     chrome_depth -= 1
+                    # leaving a chrome region must stop the current
+                    # (chrome-flagged) block from collecting — bare text
+                    # after </nav> is main content, not more boilerplate
+                    close_block()
                 elif top == "a":
                     a_depth -= 1
                 elif top in ("ul", "ol"):
@@ -533,10 +664,14 @@ def _parse_html(text: str):
                         list_stack.pop()
                 elif top == "table":
                     if table_stack:
+                        flush_cell()  # implied </td> of a dangling cell
                         t = table_stack.pop()
                         if t.cur_row:
                             t.rows.append(t.cur_row)
                             t.cur_row = None
+                        # resume the enclosing cell a nested table
+                        # suspended (None for a top-level table)
+                        cell = t.outer_cell
                 elif top == "thead":
                     if table_stack:
                         table_stack[-1].in_thead = False
@@ -549,27 +684,18 @@ def _parse_html(text: str):
                                 t.header_rows = len(t.rows)
                             t.cur_row = None
                 elif top in ("td", "th"):
-                    if table_stack and cell is not None:
-                        t = table_stack[-1]
-                        if t.cur_row is None:
-                            t.cur_row = []
-                        t.cur_row.append(cell.text())
-                        if cell.start >= 0:
-                            if t.start < 0:
-                                t.start = cell.start
-                            t.end = max(t.end, cell.end)
-                        cell = None
-                        cur = None
+                    flush_cell()
                 if top in _BLOCK_TAGS or top in _HEADING_TAGS or top == "title":
                     close_block()
                 if top == name:
                     break
         continue
-    # flush trailing row
-    if table_stack:
-        t = table_stack[-1]
+    # flush trailing cell + rows of every unclosed table (nested ones too)
+    flush_cell()
+    for t in table_stack:
         if t.cur_row:
             t.rows.append(t.cur_row)
+            t.cur_row = None
     return nodes
 
 

@@ -281,6 +281,103 @@ def test_malformed_html_best_effort():
     assert "ok words here" in r["extracted_text"]
 
 
+def test_text_after_chrome_close_is_content():
+    """Bare text following </nav> (etc.) is main content — it must not
+    keep accumulating into the closed chrome block and get dropped."""
+    body = ("<html><body>intro<nav>Home About</nav>This is the real "
+            "article content, long enough to pass every density rule "
+            "for sure.</body></html>")
+    r = extract_one(body)
+    assert "real article content" in r["extracted_text"]
+    assert "Home About" not in r["extracted_text"]
+
+
+def test_unterminated_comment_masks_rest():
+    """Spec: '<!--' with no '-->' comments out the rest of the input —
+    neither commented-out text nor a commented-out <script> may affect
+    the output."""
+    r = extract_one("<html><p>keep this paragraph which is long enough "
+                    "to stay for sure.</p><!--x<p>secret</p>")
+    assert "secret" not in r["extracted_text"]
+    assert "keep this paragraph" in r["extracted_text"]
+    # a <script> after an unterminated comment open must not start a
+    # rawtext region (everything from '<!--' on is comment text)
+    r2 = extract_one("<!-- cut <script>if(i<n)f();</script>"
+                     "<p>never content</p>")
+    assert r2["status"] == "success"
+    assert r2["extracted_text"] == ""
+
+
+def test_omitted_tr_td_end_tags():
+    """tr/td end tags are optional per spec: a new <tr>/<td> open implies
+    the close — the unflushed row/cell must not be discarded."""
+    pad = "<p>pad paragraph long enough to be kept by the rules.</p>"
+    r = extract_one(f"<html><table><tr><td>a</td><tr><td>b</td></tr>"
+                    f"</table>{pad}</html>")
+    assert "| a |" in r["extracted_text"] and "| b |" in r["extracted_text"]
+    r2 = extract_one(f"<html><table><tr><td>a<td>b</td></tr></table>"
+                     f"{pad}</html>")
+    assert "| a | b |" in r2["extracted_text"]
+
+
+def test_tbody_implies_thead_close():
+    """<tbody> implies </thead>: data rows after an unclosed thead must
+    not count as header rows."""
+    pad = "<p>pad paragraph long enough to be kept by the rules.</p>"
+    r = extract_one(f"<html><table><thead><tr><th>h</th></tr><tbody>"
+                    f"<tr><td>a</td></tr></tbody></table>{pad}</html>")
+    assert "| h |\n| --- |\n| a |" in r["extracted_text"]
+
+
+def test_block_tags_inside_cell_keep_collecting():
+    """Block-level markup inside <td> must not steal the collector from
+    the cell — the cell is one flat text in pipe markdown."""
+    pad = "<p>pad paragraph long enough to be kept by the rules.</p>"
+    r = extract_one(f"<html><table><tr><td><p>value text</p><p>more</p>"
+                    f"</td></tr></table>{pad}</html>")
+    assert "| value text more |" in r["extracted_text"]
+
+
+def test_nested_table_restores_outer_cell():
+    """A nested table suspends the enclosing cell and the cell resumes
+    after </table> — outer-cell text must stay in the outer table."""
+    pad = "<p>pad paragraph long enough to be kept.</p>"
+    r = extract_one(f"<html><table><tr><td>pre <table><tr><td>inner</td>"
+                    f"</tr></table> post</td></tr></table>{pad}</html>")
+    assert "| pre post |" in r["extracted_text"]
+    assert "| inner |" in r["extracted_text"]
+
+
+def test_stray_lt_is_literal_text():
+    """Spec: '<' not opening a tag is a character token — it must stay
+    in the text, not glue the surrounding runs together."""
+    r = extract_one("<html><p>price< 10 and cheap and this paragraph is "
+                    "long enough to be retained by the rules.</p></html>")
+    assert "price< 10 and cheap" in r["extracted_text"]
+
+
+def test_gt_inside_quoted_attribute():
+    """A '>' inside a quoted attribute value does not end the tag — the
+    attribute remnant must not leak into extracted text."""
+    r = extract_one('<html><div data-x="a>b"><p>Real paragraph text here '
+                    "long enough to keep for sure.</p></div></html>")
+    assert r["extracted_text"].startswith("Real paragraph")
+    assert 'b">' not in r["extracted_text"]
+    # same agreement inside the rawtext mask: the script open tag ends
+    # at the REAL '>', not the quoted one
+    r2 = extract_one('<script data-x="a>b">var i=1; if(i<2){}</script>'
+                     "<p>Body paragraph long enough to be retained.</p>")
+    assert r2["extracted_text"] == "Body paragraph long enough to be retained."
+
+
+def test_bare_apostrophe_attr_degrades_to_first_gt():
+    """A bare apostrophe in an unquoted attribute must not swallow
+    content past the tag end (quote interiors never cross '<')."""
+    r = extract_one("<html><p>Before <a title=it's x=1>link</a> after "
+                    "and this paragraph is long enough to stay.</p></html>")
+    assert "Before link after" in r["extracted_text"]
+
+
 def test_never_raises():
     for bad in ["", None, "<", "<<<>>>", "&#xZZ;", "\x00\x01", "a" * 100]:
         r = extract_one(bad)
