@@ -115,6 +115,25 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _band_key_structs(n_hashes: int = MINHASH_HASHES, bands: int = LSH_BANDS):
+    """Array of (band, bucket) structs derived from a ``minhash`` column:
+    bucket = fixed-width xxhash64 fold of the band's signature rows. The
+    SINGLE definition of LSH banding — shared by the batch self-join path
+    (lsh_candidate_pairs) and the incremental index path so the two can
+    never drift (the pytest oracle freezes it)."""
+    rows_per_band = n_hashes // bands
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("minhash")[b * rows_per_band + r]
+                  for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = MINHASH_HASHES,
                         bands: int = LSH_BANDS,
@@ -129,21 +148,9 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
     whole bucket. Full verified connectivity still holds only for
     members whose chain neighbors are true near-duplicates (all-pairs
     would cost O(M²)); candidate-level connectivity is always complete."""
-    rows_per_band = n_hashes // bands
     banded = sig.select(
         F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[F.col("minhash")[b * rows_per_band + r]
-                          for r in range(rows_per_band)]
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
+        F.explode(_band_key_structs(n_hashes, bands)).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
     buckets = (
         banded.groupBy("band", "bucket")
@@ -323,4 +330,142 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                 6,
             ).alias("ngram_jaccard"),
         )
+    )
+
+
+# --- incremental (cross-snapshot) dedup -------------------------------------
+#
+# The production shape for a GROWING corpus: dedup each new ingest batch
+# against everything already committed WITHOUT re-reading or re-shuffling the
+# old corpus text. The committed state is a compact signature index — one row
+# per DISTINCT content (exact-dup representative), carrying
+# (doc_id, content_sha, minhash) ≈ 170 bytes/row — maintained alongside the
+# output snapshots (same manifest/anti-join idempotency as plans/checkpoint).
+# Mirrors the reference's idempotent event processing (stripe_service.py:
+# 214-231: dedupe new events against committed state, never reprocess).
+
+
+def signature_index(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    n_hashes: int = MINHASH_HASHES,
+                    n: int = SHINGLE_WORDS) -> DataFrame:
+    """Build the committed dedup index for a corpus/batch: byte-identical
+    docs collapse to their min-id representative FIRST (the same exact-dup
+    prefilter as minhash_near_duplicates — a 10⁶-copy boilerplate page is
+    ONE index row, so no index-side LSH bucket inherits crawl skew), then
+    one minhash signature per representative.
+
+    Output: (id_col, content_sha, minhash) — one row per distinct content.
+    The rep subtree (scan -> sha2 -> groupBy -> join) feeds both the
+    signature computation and the sha projection, so it is materialized
+    once (same eager-localCheckpoint rationale as minhash_near_duplicates;
+    index builds are one-time per ingest batch)."""
+    hashed = df.select(
+        F.col(id_col), F.col(text_col),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    )
+    keepers = hashed.groupBy("content_sha").agg(F.min(id_col).alias(id_col))
+    reps = (
+        hashed.join(keepers, [id_col, "content_sha"])
+        .localCheckpoint(eager=True)
+    )
+    sig = minhash_signature(reps, id_col, text_col, n_hashes, n)
+    return reps.select(id_col, "content_sha").join(sig, id_col)
+
+
+def extend_signature_index(index: DataFrame, additions: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """Idempotently grow the index: only additions whose id is absent are
+    appended (the ST4 anti-join shape — re-running an ingest batch cannot
+    double-insert). Content-level dedup across batches is the CALLER's
+    report from incremental_near_duplicates; the index keeps every batch's
+    representatives so later matches name a real committed doc."""
+    fresh = additions.join(index.select(id_col), id_col, "left_anti")
+    return index.unionByName(fresh)
+
+
+def incremental_near_duplicates(new_df: DataFrame, index: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                threshold: float = 0.6,
+                                n_hashes: int = MINHASH_HASHES,
+                                bands: int = LSH_BANDS) -> DataFrame:
+    """Flag docs of a NEW ingest batch that duplicate the already-committed
+    corpus, touching only the batch's text and the compact index.
+
+    Per new doc (EVERY new doc is reported, not just batch representatives):
+      - method='exact'      byte-identical to a committed doc (sha equi-join)
+      - method='minhash_est' signature-estimated Jaccard ≥ threshold
+        (fraction of equal minhash components — the standard unbiased
+        estimator; exact k/n_hashes values, no float drift)
+
+    Shuffle budget: O(batch·bands) band rows from the new side against the
+    index's band rows — the committed corpus TEXT is never read. Matching
+    runs at batch-representative level (byte-identical new docs minhash
+    once) and fans back out to every new doc via its content_sha. Pairs
+    already reported exact are anti-joined out of the estimate path.
+    Within-batch duplicates are minhash_near_duplicates' job — compose:
+    dedup the batch, then check its survivors against the index, then
+    extend_signature_index. Exact verification (vs estimation) would need
+    the old text: re-join matched ids against the committed snapshot —
+    candidate-count rows, not corpus — via jaccard_verify if required."""
+    new_sig = signature_index(
+        new_df, id_col, text_col, n_hashes
+    ).localCheckpoint(eager=True)  # feeds bands + both join-backs + fan-out
+    idx = index.select(
+        F.col(id_col).alias("match_id"),
+        F.col("content_sha").alias("_sha_m"),
+        F.col("minhash").alias("_mh_m"),
+    )
+    rep_exact = (
+        new_sig.select(F.col(id_col).alias("_rep"), "content_sha")
+        .join(idx, F.col("content_sha") == F.col("_sha_m"))
+        .select(
+            "_rep", "match_id",
+            F.lit(1.0).alias("jaccard_est"),
+            F.lit("exact").alias("method"),
+        )
+    )
+    bandkeys = _band_key_structs(n_hashes, bands)
+    nb = new_sig.select(
+        F.col(id_col).alias("_rep"), F.explode(bandkeys).alias("bk")
+    ).select("_rep", "bk.band", "bk.bucket")
+    ib = index.select(
+        F.col(id_col).alias("match_id"), F.explode(bandkeys).alias("bk")
+    ).select("match_id", "bk.band", "bk.bucket")
+    cands = (
+        nb.join(ib, ["band", "bucket"])
+        .select("_rep", "match_id")
+        .distinct()
+        .join(rep_exact.select("_rep", "match_id"),
+              ["_rep", "match_id"], "left_anti")
+    )
+    rep_est = (
+        cands
+        .join(new_sig.select(F.col(id_col).alias("_rep"),
+                             F.col("minhash").alias("_mh_n")), "_rep")
+        .join(idx.select("match_id", "_mh_m"), "match_id")
+        .select(
+            "_rep", "match_id",
+            (
+                F.size(F.filter(
+                    F.zip_with("_mh_n", "_mh_m", lambda a, b: a == b),
+                    lambda x: x,
+                )) / F.lit(n_hashes)
+            ).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+        .withColumn("method", F.lit("minhash_est"))
+    )
+    rep_matches = rep_exact.unionByName(rep_est)
+    # fan representative-level matches back out to every new doc
+    fan = new_df.select(
+        F.col(id_col).alias("new_id"),
+        F.sha2(F.col(text_col), 256).alias("content_sha"),
+    ).join(new_sig.select(F.col(id_col).alias("_rep"), "content_sha"),
+           "content_sha")
+    return (
+        fan.join(rep_matches, "_rep")
+        .select("new_id", "match_id", "jaccard_est", "method")
+        .orderBy("new_id", "match_id")
     )

@@ -160,3 +160,39 @@ def java_ws_split(text: str) -> list[str]:
     return _JAVA_WS.split(text.lower().strip(" "))
 
 
+def minhash_sig_py(text: str, n_hashes: int = 16, n: int = 5,
+                   tok_cache: dict | None = None,
+                   salt_cache: dict | None = None) -> list[int]:
+    """First-principles replica of operators/dedup.py minhash_signature:
+    token hashed once to a long, shingle hash = multi-arg fixed-width
+    xxhash64 fold over n consecutive token hashes (short docs hash their
+    space-joined whole text as one string), sig[i] = min over shingles of
+    xxhash64(<long hb>, <int i>). Caches are optional cross-doc memos."""
+    tok_cache = {} if tok_cache is None else tok_cache
+    salt_cache = {} if salt_cache is None else salt_cache
+    toks = java_ws_split(text)
+    if len(toks) >= n:
+        th = [tok_cache.setdefault(t, spark_xxhash64(t)) for t in toks]
+        hbs = {spark_xxhash64_longs(th[i:i + n])
+               for i in range(len(toks) - n + 1)}
+    else:
+        hbs = {spark_xxhash64(" ".join(toks))}
+    per_salt = []
+    for hb in hbs:
+        v = salt_cache.get(hb)
+        if v is None:
+            v = salt_cache[hb] = [spark_xxhash64_long_int(hb, i)
+                                  for i in range(n_hashes)]
+        per_salt.append(v)
+    return [min(v[i] for v in per_salt) for i in range(n_hashes)]
+
+
+def band_keys_py(sig: list[int], bands: int = 4) -> list[tuple]:
+    """Replica of operators/dedup.py _band_key_structs: (band, bucket)
+    keys where bucket folds the band's signature rows as LongType
+    children."""
+    rpb = len(sig) // bands
+    return [(b, spark_xxhash64_longs(sig[b * rpb:(b + 1) * rpb]))
+            for b in range(bands)]
+
+

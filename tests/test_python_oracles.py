@@ -18,7 +18,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from tests.oracles import (
+    band_keys_py,
     java_ws_split,
+    minhash_sig_py,
     spark_xxhash64,
     spark_xxhash64_long_int,
     spark_xxhash64_longs,
@@ -118,35 +120,19 @@ def test_minhash_lsh_matches_python_oracle(spark):
         reps.append(ids[0])
         edges |= {(ids[0], m, 1.0) for m in ids[1:]}
     # signatures over representatives — the operator's string-free shingle
-    # scheme: token hashed once to a long, shingle hash = multi-arg
-    # fixed-width fold over n consecutive token hashes; short docs hash
-    # their space-joined whole text as one string
+    # scheme (first-principles replica factored into tests/oracles.py and
+    # shared with the incremental-dedup oracle below)
     tok_cache: dict[str, int] = {}
     salt_cache: dict[int, list[int]] = {}
-    sig: dict[int, list[int]] = {}
-    for rid in reps:
-        toks = java_ws_split(text_by[rid])
-        if len(toks) >= SHINGLE_WORDS:
-            th = [tok_cache.setdefault(t, spark_xxhash64(t)) for t in toks]
-            hbs = {spark_xxhash64_longs(th[i:i + SHINGLE_WORDS])
-                   for i in range(len(toks) - SHINGLE_WORDS + 1)}
-        else:
-            hbs = {spark_xxhash64(" ".join(toks))}
-        per_salt = []
-        for hb in hbs:
-            v = salt_cache.get(hb)
-            if v is None:
-                v = salt_cache[hb] = [spark_xxhash64_long_int(hb, i)
-                                      for i in range(MINHASH_HASHES)]
-            per_salt.append(v)
-        sig[rid] = [min(v[i] for v in per_salt) for i in range(MINHASH_HASHES)]
+    sig: dict[int, list[int]] = {
+        rid: minhash_sig_py(text_by[rid], MINHASH_HASHES, SHINGLE_WORDS,
+                            tok_cache, salt_cache)
+        for rid in reps
+    }
     # bands -> buckets -> hybrid candidate expansion
-    rows_per_band = MINHASH_HASHES // LSH_BANDS
     buckets: dict[tuple, list[int]] = {}
     for rid in reps:
-        for b in range(LSH_BANDS):
-            key = (b, spark_xxhash64_longs(
-                sig[rid][b * rows_per_band:(b + 1) * rows_per_band]))
+        for key in band_keys_py(sig[rid], LSH_BANDS):
             buckets.setdefault(key, []).append(rid)
     cands: set[tuple] = set()
     for ids in buckets.values():
@@ -169,6 +155,123 @@ def test_minhash_lsh_matches_python_oracle(spark):
         f"spark-only: {sorted(got - edges)[:5]}, "
         f"oracle-only: {sorted(edges - got)[:5]}"
     )
+
+
+def test_incremental_dedup_matches_python_oracle(spark):
+    """Cross-snapshot dedup oracle: the committed signature index and the
+    new-batch matching (exact sha hits + minhash-estimated Jaccard with
+    representative fan-out) recomputed in pure Python and compared as an
+    exact (new_id, match_id, est, method) set. Also asserts the
+    extend_signature_index anti-join idempotency."""
+    import hashlib
+
+    from docling_api_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_HASHES,
+        SHINGLE_WORDS,
+        extend_signature_index,
+        incremental_near_duplicates,
+        signature_index,
+    )
+
+    d = spark.read.parquet(DOCS)
+    old = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    # the new batch: fresh docs PLUS re-crawls — one byte-identical copy of
+    # a committed doc, and two MORE copies of the same text inside the
+    # batch itself (they collapse to one batch representative; fan-out must
+    # report all three) — the dominant real cross-snapshot dup shape
+    recrawl_text = old.filter(F.col("doc_id") == 1).select("text")
+    copies = recrawl_text.crossJoin(
+        spark.range(3).select((F.col("id") + 9001).cast("long").alias("doc_id"))
+    ).select("doc_id", "text")
+    new = (
+        d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 240))
+        .select("doc_id", "text")
+        .unionByName(copies)
+    )
+    threshold = 0.25
+
+    index = signature_index(old).localCheckpoint(eager=True)
+    got = {
+        (r["new_id"], r["match_id"], r["jaccard_est"], r["method"])
+        for r in incremental_near_duplicates(new, index,
+                                             threshold=threshold).collect()
+    }
+
+    # --- pure-Python replica ------------------------------------------
+    old_rows = [(r["doc_id"], r["text"])
+                for r in old.select("doc_id", "text").collect()]
+    new_rows = [(r["doc_id"], r["text"])
+                for r in new.select("doc_id", "text").collect()]
+
+    def reps_of(rows):
+        groups: dict[str, list[int]] = {}
+        text_by = dict(rows)
+        for i, t in rows:
+            groups.setdefault(hashlib.sha256(t.encode()).hexdigest(),
+                              []).append(i)
+        return {min(ids): sha for sha, ids in
+                ((s, g) for s, g in groups.items())}, text_by
+
+    tok_cache: dict[str, int] = {}
+    salt_cache: dict[int, list[int]] = {}
+
+    old_reps, old_text = reps_of(old_rows)
+    idx_sig = {rid: minhash_sig_py(old_text[rid], MINHASH_HASHES,
+                                   SHINGLE_WORDS, tok_cache, salt_cache)
+               for rid in old_reps}
+    idx_sha = {old_reps[rid]: rid for rid in old_reps}
+
+    new_reps, new_text = reps_of(new_rows)
+    new_sig = {rid: minhash_sig_py(new_text[rid], MINHASH_HASHES,
+                                   SHINGLE_WORDS, tok_cache, salt_cache)
+               for rid in new_reps}
+
+    # index-side band buckets
+    idx_buckets: dict[tuple, list[int]] = {}
+    for rid, sg in idx_sig.items():
+        for key in band_keys_py(sg, LSH_BANDS):
+            idx_buckets.setdefault(key, []).append(rid)
+
+    rep_matches: set[tuple] = set()
+    for rid, sha in new_reps.items():
+        exact_mid = idx_sha.get(sha)
+        if exact_mid is not None:
+            rep_matches.add((rid, exact_mid, 1.0, "exact"))
+        cand = set()
+        for key in band_keys_py(new_sig[rid], LSH_BANDS):
+            cand.update(idx_buckets.get(key, ()))
+        for mid in cand:
+            if exact_mid is not None and mid == exact_mid:
+                continue
+            est = sum(a == b for a, b in
+                      zip(new_sig[rid], idx_sig[mid])) / MINHASH_HASHES
+            if est >= threshold:
+                rep_matches.add((rid, mid, est, "minhash_est"))
+
+    # fan representative matches out to every new doc via content sha
+    rep_by_sha = {sha: rid for rid, sha in new_reps.items()}
+    expected = set()
+    for nid, t in new_rows:
+        rep = rep_by_sha[hashlib.sha256(t.encode()).hexdigest()]
+        for (_r, mid, est, meth) in rep_matches:
+            if _r == rep:
+                expected.add((nid, mid, est, meth))
+
+    assert got == expected, (
+        f"spark-only: {sorted(got - expected)[:5]}, "
+        f"oracle-only: {sorted(expected - got)[:5]}"
+    )
+    # the corpus must actually exercise both match methods
+    assert any(m == "exact" for (_, _, _, m) in got)
+    assert any(m == "minhash_est" for (_, _, _, m) in got)
+
+    # idempotent growth: re-adding the same batch is a no-op
+    add = signature_index(new)
+    grown = extend_signature_index(index, add)
+    grown2 = extend_signature_index(grown, add)
+    assert grown.count() == index.count() + add.count()
+    assert grown2.count() == grown.count()
 
 
 def test_fingerprint_matches_python_oracle(spark):
