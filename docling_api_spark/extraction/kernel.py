@@ -486,14 +486,19 @@ def _parse_html(text: str):
             # markdown model — with a space separator so '<td>a</p><p>b'
             # does not glue words. Without this, open_block would steal
             # `cur` from the cell and the cell's content would leak out
-            # as stray paragraphs after the table.
+            # as stray paragraphs after the table. Chrome tags get the
+            # same treatment ('<td>a<nav>b' must not glue to 'ab' —
+            # caught by the stdlib-parser differential fuzz) but still
+            # count their region so the matching close stays balanced.
             if (
                 cell is not None and not skip_depth
                 and name not in _TABLE_CTRL_TAGS
                 and (name in _BLOCK_TAGS or name in _HEADING_TAGS
-                     or name == "title")
+                     or name == "title" or name in _CHROME_TAGS)
             ):
                 cell.parts.append(" ")
+                if name in _CHROME_TAGS:
+                    chrome_depth += 1
                 if not selfclose and name not in ("br", "hr"):
                     stack.append(name)
                 continue
@@ -655,7 +660,10 @@ def _parse_html(text: str):
                     chrome_depth -= 1
                     # leaving a chrome region must stop the current
                     # (chrome-flagged) block from collecting — bare text
-                    # after </nav> is main content, not more boilerplate
+                    # after </nav> is main content, not more boilerplate.
+                    # Inside a cell the close is a word break, like its open
+                    if cell is not None and not skip_depth:
+                        cell.parts.append(" ")
                     close_block()
                 elif top == "a":
                     a_depth -= 1
@@ -686,6 +694,13 @@ def _parse_html(text: str):
                 elif top in ("td", "th"):
                     flush_cell()
                 if top in _BLOCK_TAGS or top in _HEADING_TAGS or top == "title":
+                    # a block close inside a live cell is a word break,
+                    # mirroring the open-side separator: '<td><p>a</p>b'
+                    # is 'a b', not 'ab' (differential-fuzz finding). The
+                    # table-control closes above flushed the cell first,
+                    # so they never reach this with cell still live.
+                    if cell is not None and not skip_depth:
+                        cell.parts.append(" ")
                     close_block()
                 if top == name:
                     break

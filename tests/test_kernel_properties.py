@@ -269,3 +269,139 @@ def test_oversize_boundary():
     assert r_at["status"] == "success" and r_at["payload_kind"] == "plain"
     r = extract_one(over)
     assert r["status"] == "error" and r["payload_kind"] == "oversize"
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz vs the stdlib parser: on WELL-FORMED HTML (balanced
+# tags, no entities, no stray '<'), the single-pass scanner must see
+# exactly the same visible text as an independent html.parser.HTMLParser
+# walk — compared as a word multiset, so block segmentation / implicit-
+# close recovery differences can't mask a dropped or duplicated text run.
+# (The eight spec-legal parser bugs fixed earlier were all of this class:
+# text silently lost or glued under legal markup the fixtures never hit.)
+# ---------------------------------------------------------------------------
+
+_SKIP_FOR_WALK = {"script", "style", "noscript", "template", "svg", "head"}
+# inline-rendering semantics (innerText-style): text runs across inline
+# tag boundaries GLUE ("price<em>less</em>" is one word); every other
+# element boundary is a word break. img contributes nothing and breaks
+# nothing (the kernel has no alt-text handling).
+_NO_BREAK_FOR_WALK = {"a", "em", "strong", "span", "code", "b", "i", "u",
+                      "small", "img"}
+
+
+class _StdlibVisibleText(__import__("html.parser", fromlist=["HTMLParser"]).HTMLParser):
+    """Independent ground truth: all character data outside skip regions,
+    word-segmented by block-level element boundaries."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.out: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_FOR_WALK:
+            self._skip += 1
+        elif tag not in _NO_BREAK_FOR_WALK:
+            self.out.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_FOR_WALK:
+            if self._skip:
+                self._skip -= 1
+        elif tag not in _NO_BREAK_FOR_WALK:
+            self.out.append(" ")
+
+    def handle_data(self, data):
+        if not self._skip:
+            self.out.append(data)
+
+
+def _kernel_visible_words(html_text: str):
+    import collections
+
+    from docling_api_spark.extraction.kernel import (
+        _parse_html,
+        _Table,
+    )
+
+    words: list[str] = []
+    for node in _parse_html(html_text):
+        if isinstance(node, _Table):
+            for row in node.rows:
+                for cell in row:
+                    words.extend(cell.split())
+        else:
+            words.extend(node.text().split())
+    return collections.Counter(words)
+
+
+_WORDS = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+    min_size=1, max_size=4,
+).map(" ".join)
+
+_INLINE_TAGS = ["em", "strong", "span", "code", "b", "i", "u", "small"]
+_BLOCK_ISH = ["p", "div", "section", "article", "blockquote", "pre",
+              "h1", "h2", "h3", "h4", "nav", "header", "footer", "aside"]
+
+
+def _wrap(tag: str, attrs: str, kids) -> str:
+    return f"<{tag}{attrs}>" + "".join(kids) + f"</{tag}>"
+
+
+@st.composite
+def _element(draw, inner):
+    kind = draw(st.integers(0, 9))
+    if kind <= 3:  # plain / inline-wrapped container
+        tag = draw(st.sampled_from(_INLINE_TAGS + _BLOCK_ISH))
+        attrs = draw(st.sampled_from(["", " class=\"c1\"", " id=\"x\""]))
+        kids = draw(st.lists(inner, max_size=3))
+        return _wrap(tag, attrs, kids)
+    if kind == 4:  # anchor
+        kids = draw(st.lists(inner, max_size=2))
+        return _wrap("a", " href=\"u\"", kids)
+    if kind == 5:  # list
+        items = draw(st.lists(inner, min_size=1, max_size=3))
+        tag = draw(st.sampled_from(["ul", "ol"]))
+        return _wrap(tag, "", [f"<li>{k}</li>" for k in items])
+    if kind == 6:  # table of text/inline cells
+        ncols = draw(st.integers(1, 3))
+        nrows = draw(st.integers(1, 3))
+        rows = []
+        for r in range(nrows):
+            # sequences inside a cell (element THEN text) exercise the
+            # close-side word-break path: '<td><p>a</p>b' must be 'a b'
+            cells = ["".join(draw(st.lists(st.one_of(_WORDS, inner),
+                                           min_size=1, max_size=2)))
+                     for _ in range(ncols)]
+            ct = "th" if r == 0 and draw(st.booleans()) else "td"
+            rows.append("<tr>" + "".join(f"<{ct}>{c}</{ct}>" for c in cells)
+                        + "</tr>")
+        return _wrap("table", "", rows)
+    if kind == 7:  # rawtext region: body must be invisible to BOTH sides
+        body = draw(st.text(alphabet="abc =;(){}", max_size=30))
+        tag = draw(st.sampled_from(["script", "style"]))
+        return _wrap(tag, "", [body])
+    if kind == 8:  # void tags between runs
+        return draw(st.sampled_from(["<br>", "<hr>", "<img src=\"i\">"]))
+    return draw(_WORDS)  # bare text between siblings
+
+
+_WELL_FORMED = st.recursive(_WORDS, lambda inner: _element(inner), max_leaves=24)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_WELL_FORMED, min_size=1, max_size=5).map("".join))
+def test_scanner_agrees_with_stdlib_parser_on_wellformed(html_text):
+    import collections
+
+    ref = _StdlibVisibleText()
+    ref.feed(html_text)
+    ref.close()
+    expected = collections.Counter("".join(ref.out).split())
+    got = _kernel_visible_words(html_text)
+    assert got == expected, (
+        f"kernel-only: {dict((got - expected))}, "
+        f"stdlib-only: {dict((expected - got))}, input={html_text!r}"
+    )
