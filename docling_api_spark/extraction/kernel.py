@@ -499,6 +499,12 @@ def _parse_html(text: str):
                 cell.parts.append(" ")
                 if name in _CHROME_TAGS:
                     chrome_depth += 1
+                elif name in ("ul", "ol"):
+                    # keep list_stack symmetric with the close-side pop:
+                    # without this, '</ul>' of a list INSIDE a cell pops
+                    # the counter of a list enclosing the whole table and
+                    # later items lose their ordered numbering
+                    list_stack.append([name, 0])
                 if not selfclose and name not in ("br", "hr"):
                     stack.append(name)
                 continue

@@ -393,3 +393,17 @@ def test_extract_is_pure():
         for turn in range(5):
             _, text = payload_for(42, conv, turn)
             assert extract_one(text) == extract_one(text)
+
+
+def test_list_inside_cell_does_not_corrupt_outer_numbering():
+    """A <ul>/<ol> inside a table cell is flattened into the cell text,
+    but its close must pop ITS OWN list counter — not the counter of a
+    list enclosing the whole table (regression: items after the table
+    lost their ordered numbering)."""
+    payload = ('<ol><li>one<table><tr><td><ul>x</ul>y</td></tr></table></li>'
+               '<li>two</li><li>three</li></ol>')
+    text = extract_one(payload)["extracted_text"]
+    assert "2. two" in text and "3. three" in text
+    # unclosed guarded list: the implied closes stay balanced too
+    p2 = '<ol><li>a<table><tr><td><ul>x</td></tr></table></li><li>b</li></ol>'
+    assert "2. b" in extract_one(p2)["extracted_text"]
