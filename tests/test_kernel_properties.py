@@ -337,37 +337,51 @@ def _kernel_visible_words(html_text: str):
 
 
 _WORDS = st.lists(
-    st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+    st.one_of(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+        # character references: both sides decode them (html.unescape vs
+        # convert_charrefs), incl. &nbsp; whose \xa0 both normalizations
+        # treat as whitespace
+        st.sampled_from(["a&amp;b", "x&#65;y", "p&lt;q", "m&nbsp;n",
+                         "&quot;w&quot;"]),
+    ),
     min_size=1, max_size=4,
 ).map(" ".join)
 
 _INLINE_TAGS = ["em", "strong", "span", "code", "b", "i", "u", "small"]
 _BLOCK_ISH = ["p", "div", "section", "article", "blockquote", "pre",
-              "h1", "h2", "h3", "h4", "nav", "header", "footer", "aside"]
+              "h1", "h2", "h3", "h4", "nav", "header", "footer", "aside",
+              "figure", "figcaption", "dl", "dt", "dd"]
+_ATTRS = ["", " class=\"c1\"", " id=\"x\"", " data-x=\"a>b\"", " disabled"]
 
 
-def _wrap(tag: str, attrs: str, kids) -> str:
-    return f"<{tag}{attrs}>" + "".join(kids) + f"</{tag}>"
+def _wrap(tag: str, attrs: str, kids, shout: bool = False) -> str:
+    open_t, close_t = (tag.upper(), tag) if shout else (tag, tag)
+    return f"<{open_t}{attrs}>" + "".join(kids) + f"</{close_t}>"
 
 
 @st.composite
 def _element(draw, inner):
     kind = draw(st.integers(0, 9))
+    shout = draw(st.booleans()) if draw(st.booleans()) else False
     if kind <= 3:  # plain / inline-wrapped container
         tag = draw(st.sampled_from(_INLINE_TAGS + _BLOCK_ISH))
-        attrs = draw(st.sampled_from(["", " class=\"c1\"", " id=\"x\""]))
+        attrs = draw(st.sampled_from(_ATTRS))
         kids = draw(st.lists(inner, max_size=3))
-        return _wrap(tag, attrs, kids)
+        return _wrap(tag, attrs, kids, shout)
     if kind == 4:  # anchor
         kids = draw(st.lists(inner, max_size=2))
-        return _wrap("a", " href=\"u\"", kids)
+        return _wrap("a", " href=\"u\"", kids, shout)
     if kind == 5:  # list
         items = draw(st.lists(inner, min_size=1, max_size=3))
         tag = draw(st.sampled_from(["ul", "ol"]))
         return _wrap(tag, "", [f"<li>{k}</li>" for k in items])
-    if kind == 6:  # table of text/inline cells
+    if kind == 6:  # table: optional caption/thead/tbody, stray inter-row text
         ncols = draw(st.integers(1, 3))
         nrows = draw(st.integers(1, 3))
+        parts = []
+        if draw(st.booleans()):
+            parts.append(f"<caption>{draw(_WORDS)}</caption>")
         rows = []
         for r in range(nrows):
             # sequences inside a cell (element THEN text) exercise the
@@ -378,13 +392,21 @@ def _element(draw, inner):
             ct = "th" if r == 0 and draw(st.booleans()) else "td"
             rows.append("<tr>" + "".join(f"<{ct}>{c}</{ct}>" for c in cells)
                         + "</tr>")
-        return _wrap("table", "", rows)
+        if len(rows) > 1 and draw(st.booleans()):
+            parts.append(f"<thead>{rows[0]}</thead>")
+            parts.append("<tbody>" + "".join(rows[1:]) + "</tbody>")
+        else:
+            if draw(st.booleans()):
+                rows.insert(draw(st.integers(0, len(rows))), draw(_WORDS))
+            parts.extend(rows)
+        return _wrap("table", "", parts)
     if kind == 7:  # rawtext region: body must be invisible to BOTH sides
         body = draw(st.text(alphabet="abc =;(){}", max_size=30))
         tag = draw(st.sampled_from(["script", "style"]))
-        return _wrap(tag, "", [body])
+        return _wrap(tag, "", [body], shout)
     if kind == 8:  # void tags between runs
-        return draw(st.sampled_from(["<br>", "<hr>", "<img src=\"i\">"]))
+        return draw(st.sampled_from(["<br>", "<hr>", "<img src=\"i\">",
+                                     "<br/>", "<hr />"]))
     return draw(_WORDS)  # bare text between siblings
 
 
