@@ -7,6 +7,9 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
   resume  (same as run: the manifest makes every run a resume)
   status  --output <dir>
   compact --output <dir> [--vacuum]   (fold small files; optionally vacuum)
+  dedup-index --input <docs parquet> --index <dir>
+          (report new-batch duplicates vs the committed signature index,
+           then commit the batch's unseen contents as the next version)
 
 Benchmarks live in bench.py at the repo root (not a subcommand here).
 """
@@ -47,6 +50,17 @@ def main(argv: list[str] | None = None) -> None:
                    help="with --vacuum: also reclaim dirs of leased "
                         "(possibly in-flight) runs — asserts no runs are "
                         "currently in flight")
+    d = sub.add_parser("dedup-index")
+    d.add_argument("--input", required=True,
+                   help="parquet of the new ingest batch (id + text)")
+    d.add_argument("--index", required=True,
+                   help="signature-index dir (created on first run)")
+    d.add_argument("--threshold", type=float, default=0.6,
+                   help="minhash-estimated Jaccard floor for near matches")
+    d.add_argument("--matches-out", default=None,
+                   help="optional parquet dir for the per-pair match report")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
 
     from docling_api_spark.session import get_spark
@@ -74,6 +88,15 @@ def main(argv: list[str] | None = None) -> None:
         summary = compact(spark, args.output, args.files_per_bucket)
         if args.vacuum:
             summary["vacuumed"] = vacuum(args.output, force=args.force)
+        print(json.dumps(summary))
+    elif args.cmd == "dedup-index":
+        from docling_api_spark.plans.dedup_index import update_index
+
+        summary = update_index(
+            spark, spark.read.parquet(args.input), args.index,
+            id_col=args.id_col, text_col=args.text_col,
+            threshold=args.threshold, matches_out=args.matches_out,
+        )
         print(json.dumps(summary))
     spark.stop()
 

@@ -388,6 +388,7 @@ def incremental_near_duplicates(new_df: DataFrame, index: DataFrame,
                                 id_col: str = "doc_id",
                                 text_col: str = "text",
                                 threshold: float = 0.6,
+                                new_sig: DataFrame | None = None,
                                 n_hashes: int = MINHASH_HASHES,
                                 bands: int = LSH_BANDS) -> DataFrame:
     """Flag docs of a NEW ingest batch that duplicate the already-committed
@@ -408,10 +409,15 @@ def incremental_near_duplicates(new_df: DataFrame, index: DataFrame,
     dedup the batch, then check its survivors against the index, then
     extend_signature_index. Exact verification (vs estimation) would need
     the old text: re-join matched ids against the committed snapshot —
-    candidate-count rows, not corpus — via jaccard_verify if required."""
-    new_sig = signature_index(
-        new_df, id_col, text_col, n_hashes
-    ).localCheckpoint(eager=True)  # feeds bands + both join-backs + fan-out
+    candidate-count rows, not corpus — via jaccard_verify if required.
+
+    ``new_sig`` accepts the batch's precomputed (materialized)
+    signature_index so a caller that also extends the index afterwards
+    (plans/dedup_index.py) pays the batch scan+minhash once, not twice."""
+    if new_sig is None:
+        new_sig = signature_index(
+            new_df, id_col, text_col, n_hashes
+        ).localCheckpoint(eager=True)  # feeds bands + join-backs + fan-out
     idx = index.select(
         F.col(id_col).alias("match_id"),
         F.col("content_sha").alias("_sha_m"),
@@ -467,5 +473,8 @@ def incremental_near_duplicates(new_df: DataFrame, index: DataFrame,
     return (
         fan.join(rep_matches, "_rep")
         .select("new_id", "match_id", "jaccard_est", "method")
+        # a doc already committed to the index (an idempotent batch
+        # re-run) must not be reported as a duplicate of ITSELF
+        .filter(F.col("new_id") != F.col("match_id"))
         .orderBy("new_id", "match_id")
     )

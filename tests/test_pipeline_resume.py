@@ -435,3 +435,79 @@ def test_vacuum_trash_protocol(spark, transcripts, tmp_path):
 
     state = Manifest(str(out)).snapshot()
     assert state["retired"] == []
+
+
+def test_dedup_index_update_and_idempotency(spark, tmp_path):
+    """plans/dedup_index.py lifecycle: first batch builds v0000; a second
+    batch reports its duplicates vs the committed index (exact + near)
+    and commits only unseen contents as v0001; re-running the same batch
+    is a committed no-op (pointer untouched); the on-disk index equals
+    the operator-level extension."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.plans.dedup_index import (
+        load_index,
+        read_pointer,
+        update_index,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch1 = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    # batch 2 overlaps batch 1: fresh docs + a byte-identical re-crawl
+    recrawl = (
+        batch1.filter(F.col("doc_id") == 1)
+        .select(F.lit(9001).cast("long").alias("doc_id"), "text")
+    )
+    batch2 = (
+        d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 240))
+        .select("doc_id", "text")
+        .unionByName(recrawl)
+    )
+    idx_dir = str(tmp_path / "sigidx")
+    matches_dir = str(tmp_path / "matches")
+
+    s1 = update_index(spark, batch1, idx_dir, threshold=0.25)
+    assert s1["index_version"] == 0 and s1["committed"]
+    assert s1["matches"] == {"exact": 0, "minhash_est": 0, "docs_matched": 0}
+    assert s1["index_rows"] == s1["n_input_distinct"] == s1["n_added"]
+
+    s2 = update_index(spark, batch2, idx_dir, threshold=0.25,
+                      matches_out=matches_dir)
+    assert s2["index_version"] == 1 and s2["committed"]
+    assert s2["matches"]["exact"] >= 1          # the re-crawled copy
+    assert s2["matches"]["minhash_est"] >= 1    # corpus near-dups straddle
+    assert 0 < s2["n_added"] <= s2["n_input_distinct"]
+    # the written match report mirrors the summary counts
+    mm = spark.read.parquet(matches_dir)
+    assert mm.count() == s2["matches"]["exact"] + s2["matches"]["minhash_est"]
+    assert mm.filter(F.col("method") == "exact").count() == s2["matches"]["exact"]
+
+    # idempotent re-run: same batch, nothing committed, pointer untouched.
+    # (The match REPORT legitimately grows — batch2's own near-dup pairs
+    # are now cross-index matches — but never with self-pairs.)
+    before = read_pointer(idx_dir)
+    s3 = update_index(spark, batch2, idx_dir, threshold=0.25,
+                      matches_out=str(tmp_path / "matches2"))
+    assert s3["committed"] is False and s3["n_added"] == 0
+    assert s3["index_version"] == 1
+    assert read_pointer(idx_dir) == before
+    m2 = spark.read.parquet(str(tmp_path / "matches2"))
+    assert m2.filter(F.col("new_id") == F.col("match_id")).count() == 0
+    assert m2.count() >= mm.count()  # prior cross matches all still found
+
+    # on-disk index == operator-level signature union (exact row set)
+    from docling_api_spark.operators.dedup import (
+        extend_signature_index,
+        signature_index,
+    )
+
+    current, state = load_index(spark, idx_dir)
+    assert state["version"] == 1 and current.count() == state["n_rows"]
+    expected = extend_signature_index(
+        signature_index(batch1), signature_index(batch2)
+    )
+    got_rows = {tuple(r) for r in current.select(
+        "doc_id", "content_sha", F.col("minhash").cast("string")).collect()}
+    exp_rows = {tuple(r) for r in expected.select(
+        "doc_id", "content_sha", F.col("minhash").cast("string")).collect()}
+    assert got_rows == exp_rows
