@@ -45,3 +45,35 @@ def stratified_sample(df: DataFrame, rates: DataFrame, strata_col: str,
     of web, 100% of books)."""
     joined = df.join(F.broadcast(rates), strata_col)
     return joined.filter(hash_bucket(F.col(key_col)) < F.col(rate_col))
+
+
+def group_split(df: DataFrame, group_col: str,
+                splits: list[tuple[str, int]] = (
+                    ("train", 9000), ("val", 500), ("test", 500)),
+                salt: str = "split",
+                out_col: str = "split") -> DataFrame:
+    """Leakage-free train/val/test assignment: the bucket is hashed from
+    the GROUP key (conversation, document, domain), so every row of a
+    group lands in the same split — a conversation can never straddle
+    train and eval. Weights are basis points and must sum to 10000
+    (checked loudly: a silent renormalization would quietly change every
+    assignment). Pure codegen projection — no shuffle, no state,
+    identical assignment at every cluster size and in every engine."""
+    splits = list(splits)
+    total = sum(bp for _, bp in splits)
+    if total != 10000:
+        raise ValueError(
+            f"group_split weights must sum to 10000 bp, got {total}"
+        )
+    if len({name for name, _ in splits}) != len(splits):
+        raise ValueError("group_split names must be unique")
+    bucket = hash_bucket(F.col(group_col), salt)
+    expr = None
+    edge = 0
+    for name, bp in splits[:-1]:
+        edge += bp
+        expr = (F.when(bucket < edge, name) if expr is None
+                else expr.when(bucket < edge, name))
+    last = F.lit(splits[-1][0]) if expr is None else expr.otherwise(
+        splits[-1][0])
+    return df.withColumn(out_col, last)

@@ -127,3 +127,104 @@ def test_pack_precomputed_counts_and_edge_cases(spark):
     assert {r["n_tokens"] for r in got.values()} == {50, 100, 101, 0}
     with _pytest.raises(ValueError, match="positive"):
         pack_sequences(df, ctx_len=0, token_count_col="n_tok")
+
+
+# --- token-window chunking (operators/chunking.py) --------------------------
+
+
+def _chunk_oracle(rows, ctx_len, stride):
+    """Pure-Python twin of chunk_documents: Spark-parity tokens (trim is
+    SPACE-only; split is Java-\\s+ i.e. ASCII [ \\t\\n\\x0B\\f\\r]+ with
+    limit -1, so leading non-space whitespace yields an empty first
+    token) windowed by the shared n_chunks_for rule."""
+    import re
+
+    from docling_api_spark.operators.chunking import n_chunks_for
+
+    want = set()
+    for doc_id, text in rows:
+        t = (text or "").strip(" ")
+        toks = [] if t == "" else re.split("[ \t\n\x0b\f\r]+", t)
+        k = n_chunks_for(len(toks), ctx_len, stride)
+        for i in range(k):
+            w = toks[i * stride: i * stride + ctx_len]
+            want.add((doc_id, i, i * stride, len(w), " ".join(w)))
+    return want
+
+
+def test_chunk_documents_matches_oracle(spark):
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.chunking import chunk_documents
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    rows = [(r["doc_id"], r["text"]) for r in d.collect()]
+    for ctx_len, stride in [(32, 32), (32, 24), (7, 1), (100000, 100000)]:
+        got = {
+            tuple(r)
+            for r in chunk_documents(d, ctx_len, stride).collect()
+        }
+        assert got == _chunk_oracle(rows, ctx_len, stride), (ctx_len, stride)
+    # partitioning invariance
+    g1 = {tuple(r) for r in chunk_documents(d.repartition(7), 32, 24).collect()}
+    assert g1 == _chunk_oracle(rows, 32, 24)
+
+
+def test_chunk_documents_edges_and_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, None),                      # NULL -> one empty chunk
+            (2, ""),                        # empty -> one empty chunk
+            (3, "   "),                     # spaces only -> one empty chunk
+            (4, "a"),                       # single token
+            (5, " ".join(f"t{i}" for i in range(10))),   # exact multiple
+            (6, " ".join(f"t{i}" for i in range(11))),   # one over
+            (7, "\tlead tab"),              # Spark trim is space-only:
+                                            # leading tab -> empty token
+        ],
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in chunk_documents(df, 5, 5).collect()}
+    assert got == _chunk_oracle(
+        [(r["doc_id"], r["text"]) for r in df.collect()], 5, 5
+    )
+    # never-drop: every input id appears
+    assert {r[0] for r in got} == {1, 2, 3, 4, 5, 6, 7}
+    # empty docs are one zero-token chunk, not absent
+    assert (1, 0, 0, 0, "") in got and (3, 0, 0, 0, "") in got
+    # doc 5 (10 tokens, ctx 5 disjoint): 2 full windows; doc 6: 3rd short
+    assert sum(1 for g in got if g[0] == 5) == 2
+    assert sum(1 for g in got if g[0] == 6) == 3
+
+    # overlap semantics: with stride < ctx consecutive windows share
+    # exactly ctx-stride tokens, and disjoint stride reconstructs the
+    # token stream in order
+    text = " ".join(f"w{i}" for i in range(23))
+    one = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    over = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(one, 8, 5).collect()
+    )
+    for (_, a), (_, b) in zip(over, over[1:]):
+        assert a.split()[5:] == b.split()[: len(a.split()) - 5]
+    flat = sorted(
+        (r["chunk_idx"], r["chunk_text"])
+        for r in chunk_documents(one, 8, 8).collect()
+    )
+    assert " ".join(t for _, t in flat) == text
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, 8, 9)
+    with _pytest.raises(ValueError, match="ctx_len"):
+        chunk_documents(df, 0)
+    with _pytest.raises(ValueError, match="reserved"):
+        chunk_documents(df.withColumn("chunk_idx", F.lit(1)), 8)

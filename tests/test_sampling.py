@@ -39,3 +39,44 @@ def test_stratified_sample_respects_rates(spark):
     assert by_src["src1"] == full  # rate 10000 keeps every row
     # strata without a rate row are dropped by the inner join (explicit mix)
     assert set(by_src) == {"src1"}
+
+
+def test_group_split_leakage_free_and_deterministic(spark):
+    from docling_api_spark.gen import transcripts_df
+    from docling_api_spark.operators.sampling import group_split
+
+    t = transcripts_df(spark, 400, partitions=8)
+    s = group_split(t, "conv_id")
+    # leakage-free: every row of a conversation gets the SAME split
+    multi = (
+        s.groupBy("conv_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+    # proportions hold at the GROUP grain (9000/500/500 bp over convs)
+    by = {
+        r["split"]: r["n"]
+        for r in s.select("conv_id", "split").distinct()
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_groups = sum(by.values())
+    assert set(by) == {"train", "val", "test"}
+    assert 0.80 * n_groups < by["train"] < 0.97 * n_groups
+    assert by["val"] + by["test"] < 0.20 * n_groups
+    # run-to-run identical; a different salt reassigns some groups
+    again = group_split(t, "conv_id")
+    assert s.exceptAll(again).count() == 0
+    other = group_split(t, "conv_id", salt="v2")
+    assert s.exceptAll(other).count() > 0
+    # single-split degenerate case assigns everything
+    all_train = group_split(t, "conv_id", splits=[("train", 10000)])
+    assert all_train.filter(F.col("split") != "train").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="10000"):
+        group_split(t, "conv_id", splits=[("a", 5000), ("b", 4000)])
+    with _pytest.raises(ValueError, match="unique"):
+        group_split(t, "conv_id", splits=[("a", 5000), ("a", 5000)])
