@@ -1,0 +1,245 @@
+"""End-to-end training-corpus builder: the composition a 100 TB data
+pipeline actually runs, wired from the operator layer —
+
+    extract -> quality gate -> exact dedup -> near-dup clustering ->
+    eval decontamination -> group split -> chunk -> pack
+
+The design principle is ANNOTATE, DON'T RE-SCAN: every stage writes its
+verdict as a column on one per-document frame (``annotate_corpus``), so
+the whole funnel is a single DAG over one corpus pass plus the dedup/
+decontam shuffles the operators already need. Per-stage funnel counts
+come from ONE aggregation over the annotated frame — not one count-job
+per stage, which at scale would re-execute every upstream stage per
+count. The annotated frame is materialized once (eager localCheckpoint,
+same rationale as minhash_near_duplicates) and feeds the funnel, the
+kept-corpus filter, and chunk/pack without recomputation.
+
+Gating is a strict funnel (a stage only examines survivors of the
+previous one): near-dup clustering runs over quality-passing extractions
+only, decontamination over dedup keepers only — matching how each stage
+is priced at crawl scale (dedup over everything is wasted shuffle when
+quality already dropped a third of it).
+
+Every verdict is deterministic (content hashes, group hashes — no
+runtime randomness), so the same corpus yields the same training
+examples at any parallelism, the repo-wide invariant.
+
+Reference parity: the reference is a per-document gateway with no
+corpus pipeline; this composes the training-data-pipeline layer the
+brief adds on top. Stage semantics are each oracle-tested in their own
+operator modules; tests/test_corpus_pipeline.py checks the WIRING
+(funnel arithmetic, flag consistency, leakage-freedom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SPLITS = (("train", 9000), ("val", 500), ("test", 500))
+
+
+def annotate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_floor: float = 0.35,
+    near_threshold: float = 0.6,
+    decontam_n: int = 8,
+    splits=DEFAULT_SPLITS,
+    split_salt: str = "split",
+) -> DataFrame:
+    """One row per input document carrying every stage's verdict:
+
+    (id_col, status, extracted_text, n_extracted_tokens, quality_score,
+     ok_extract, ok_quality, exact_keeper, is_exact_dup, cluster_id,
+     is_near_dup, contaminated, split, final_keep)
+
+    ``final_keep`` is the conjunction of the funnel gates; ``split`` is
+    assigned for every extraction-passing document (so eval-set sizing
+    is stable under upstream gate tuning), but only ``final_keep`` rows
+    are training-corpus members.
+    """
+    from docling_api_spark.operators.decontam import ngram_decontaminate
+    from docling_api_spark.operators.dedup import minhash_near_duplicates
+    from docling_api_spark.operators.extract import extract_text_column
+    from docling_api_spark.operators.graph import cluster_assignments
+    from docling_api_spark.operators.sampling import group_split
+    from docling_api_spark.operators.textstats import with_quality_score
+
+    # A) extract + quality score, one projection chain off the scan
+    ext = extract_text_column(docs, keep_cols=[id_col])
+    q = with_quality_score(ext, text_col="extracted_text")
+    base = q.select(
+        id_col,
+        "status",
+        "extracted_text",
+        F.when(
+            F.col("extracted_text").isNull()
+            | (F.trim("extracted_text") == ""),
+            F.lit(0),
+        )
+        .otherwise(F.size(F.split(F.trim("extracted_text"), r"\s+")))
+        .cast("long")
+        .alias("n_extracted_tokens"),
+        "quality_score",
+        (F.col("status") == "success").alias("ok_extract"),
+        # coalesce: a NULL quality under a success status must gate to
+        # FALSE, not propagate NULL through the conjunctions downstream
+        F.coalesce(
+            (F.col("status") == "success")
+            & (F.col("quality_score") >= quality_floor),
+            F.lit(False),
+        ).alias("ok_quality"),
+    )
+    # the base subtree feeds the exact-dedup groupBy, the near-dup
+    # operator, decontam, and the final assembly — one materialization
+    base = group_split(
+        base, id_col, splits=list(splits), salt=split_salt
+    ).localCheckpoint(eager=True)
+
+    # B) exact dedup over quality survivors: min-id keeper per content
+    surv = base.filter("ok_quality").select(id_col, "extracted_text")
+    keepers = (
+        surv.select(
+            id_col, F.sha2("extracted_text", 256).alias("_sha")
+        )
+        .groupBy("_sha")
+        .agg(F.min(id_col).alias("exact_keeper"))
+    )
+    exact = (
+        surv.select(id_col, F.sha2("extracted_text", 256).alias("_sha"))
+        .join(keepers, "_sha")
+        .select(id_col, "exact_keeper")
+    )
+
+    # C) near-dup clusters over quality survivors (the operator's own
+    # exact-dup prefilter makes B's keepers the representatives); a doc
+    # is dropped when its cluster label names a DIFFERENT doc
+    edges = minhash_near_duplicates(
+        surv, id_col, "extracted_text", near_threshold
+    ).select("id_a", "id_b")
+    clusters = cluster_assignments(edges, id_alias=id_col).select(
+        id_col, "cluster_id"
+    )
+
+    # D) decontamination over dedup keepers only
+    dedup_keepers = (
+        surv.join(exact, id_col)
+        .filter(F.col(id_col) == F.col("exact_keeper"))
+        .join(clusters, id_col, "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col(id_col))
+        )
+        .select(id_col, "extracted_text")
+    )
+    contaminated = ngram_decontaminate(
+        dedup_keepers,
+        eval_docs.select(
+            F.col(id_col), F.col(text_col).alias("extracted_text")
+        ),
+        id_col,
+        "extracted_text",
+        decontam_n,
+    ).select(id_col, F.lit(True).alias("contaminated"))
+
+    annotated = (
+        base.join(exact, id_col, "left")
+        .join(clusters, id_col, "left")
+        .join(contaminated, id_col, "left")
+        .select(
+            base["*"],
+            "exact_keeper",
+            F.coalesce(
+                F.col("exact_keeper") != F.col(id_col), F.lit(False)
+            ).alias("is_exact_dup"),
+            "cluster_id",
+            F.coalesce(
+                (F.col("cluster_id") != F.col(id_col))
+                & (F.col("exact_keeper") == F.col(id_col)),
+                F.lit(False),
+            ).alias("is_near_dup"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+        .withColumn(
+            "final_keep",
+            F.col("ok_quality")
+            & ~F.col("is_exact_dup")
+            & ~F.col("is_near_dup")
+            & ~F.col("contaminated"),
+        )
+    )
+    return annotated.localCheckpoint(eager=True)
+
+
+def corpus_funnel(annotated: DataFrame) -> dict:
+    """The whole per-stage funnel from ONE aggregation job."""
+    row = annotated.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("ok_extract").cast("long")).alias("n_extracted"),
+        F.sum(F.col("ok_quality").cast("long")).alias("n_quality"),
+        F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dropped"),
+        F.sum(F.col("is_near_dup").cast("long")).alias("n_near_dropped"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum(F.col("final_keep").cast("long")).alias("n_kept"),
+        F.sum(
+            (F.col("final_keep") & (F.col("split") == "train")).cast("long")
+        ).alias("n_train"),
+        F.sum(
+            (F.col("final_keep") & (F.col("split") == "val")).cast("long")
+        ).alias("n_val"),
+        F.sum(
+            (F.col("final_keep") & (F.col("split") == "test")).cast("long")
+        ).alias("n_test"),
+    ).collect()[0]
+    return {k: int(row[k]) for k in row.asDict()}
+
+
+def build_training_examples(
+    spark: SparkSession,
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    ctx_len: int = 512,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **annotate_kwargs,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """The full pipeline: returns (annotated, examples, funnel).
+
+    ``examples`` is the packed train-split corpus at the training-example
+    grain: every kept train document is chunked into ctx_len-token
+    windows and the chunks greedily packed into (shard, bin_idx) slots —
+    one row per chunk with its bin assignment. Chunk ids are
+    ``"<doc_id>#<chunk_idx>"`` (stable, engine-independent).
+    """
+    from docling_api_spark.operators.chunking import chunk_documents
+    from docling_api_spark.operators.packing import pack_sequences
+
+    annotated = annotate_corpus(
+        docs, eval_docs, id_col, text_col, **annotate_kwargs
+    )
+    funnel = corpus_funnel(annotated)
+
+    train = annotated.filter(
+        F.col("final_keep") & (F.col("split") == "train")
+    ).select(id_col, "extracted_text")
+    chunks = chunk_documents(
+        train, ctx_len, stride, id_col=id_col, text_col="extracted_text"
+    ).withColumn(
+        "chunk_id",
+        F.concat(F.col(id_col).cast("string"), F.lit("#"), "chunk_idx"),
+    )
+    packed = pack_sequences(
+        chunks,
+        ctx_len=ctx_len,
+        id_col="chunk_id",
+        token_count_col="n_tokens",
+    )
+    examples = chunks.select(
+        "chunk_id", id_col, "chunk_idx", "token_start", "chunk_text"
+    ).join(packed, "chunk_id")
+    funnel["n_chunks"] = examples.count()
+    return annotated, examples, funnel

@@ -1,0 +1,148 @@
+"""Wiring tests for the end-to-end training-corpus builder
+(plans/corpus_pipeline.py). Stage SEMANTICS are oracle-tested in each
+operator's own module; here we verify the composition: funnel
+arithmetic, flag consistency on injected known cases (an exact copy, a
+near-dup, an eval-set leak), split/chunk/pack integrity, and totality
+under a gate that drops everything."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _corpus(spark):
+    """sf0.001 documents + three injected documents with known verdicts:
+    10001 = byte-identical copy of doc 1 (exact dup), 10002 = doc 2's
+    payload with a word appended (near dup), 10003 = unique text that IS
+    the eval set (contamination)."""
+    d = spark.read.parquet(DOCS).select("doc_id", "text")
+    base1 = d.filter(F.col("doc_id") == 1).select("text").collect()[0][0]
+    base2 = d.filter(F.col("doc_id") == 2).select("text").collect()[0][0]
+    leak = " ".join(f"leakword{i}" for i in range(40))
+    injected = spark.createDataFrame(
+        [
+            (10001, base1),
+            (10002, base2 + " appendix"),
+            (10003, leak),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(90001, leak)], "doc_id long, text string"
+    )
+    return d.unionByName(injected), eval_docs
+
+
+def test_funnel_flags_and_examples(spark):
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    docs, eval_docs = _corpus(spark)
+    annotated, examples, funnel = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, stride=48,
+        quality_floor=0.0, near_threshold=0.25,
+    )
+
+    # --- funnel arithmetic (one aggregation, self-consistent) ---
+    assert funnel["n_input"] == docs.count()
+    assert funnel["n_input"] >= funnel["n_extracted"] >= funnel["n_quality"]
+    assert funnel["n_kept"] == (
+        funnel["n_quality"]
+        - funnel["n_exact_dropped"]
+        - funnel["n_near_dropped"]
+        - funnel["n_contaminated"]
+    )
+    assert funnel["n_kept"] == (
+        funnel["n_train"] + funnel["n_val"] + funnel["n_test"]
+    )
+    assert funnel["n_exact_dropped"] >= 1
+    assert funnel["n_near_dropped"] >= 1
+    assert funnel["n_contaminated"] >= 1
+
+    # --- injected verdicts ---
+    by_id = {
+        r["doc_id"]: r
+        for r in annotated.filter(F.col("doc_id") >= 10000).collect()
+    }
+    a = by_id[10001]  # byte-identical copy of doc 1
+    assert a["is_exact_dup"] and a["exact_keeper"] == 1
+    assert not a["final_keep"]
+    b = by_id[10002]  # near-dup of doc 2
+    assert b["is_near_dup"] and b["cluster_id"] == 2
+    assert not b["is_exact_dup"] and not b["final_keep"]
+    c = by_id[10003]  # the eval-set leak
+    assert c["contaminated"] and not c["final_keep"]
+    assert not c["is_exact_dup"] and not c["is_near_dup"]
+    # flags are mutually consistent everywhere: near-dup only on exact
+    # keepers; any flag forces final_keep false
+    bad = annotated.filter(
+        (F.col("is_near_dup") & (F.col("exact_keeper") != F.col("doc_id")))
+        | (
+            F.col("final_keep")
+            & (
+                F.col("is_exact_dup")
+                | F.col("is_near_dup")
+                | F.col("contaminated")
+                | ~F.col("ok_quality")
+            )
+        )
+    ).count()
+    assert bad == 0
+
+    # --- examples: train-split keepers only, fully covered, bins valid ---
+    kept_train = {
+        r["doc_id"]
+        for r in annotated.filter(
+            F.col("final_keep") & (F.col("split") == "train")
+        ).collect()
+    }
+    ex = examples.collect()
+    assert {r["doc_id"] for r in ex} == kept_train
+    assert funnel["n_chunks"] == len(ex)
+    # chunk coverage: disjoint-prefix tokens reconstruct each doc's count
+    tok_counts = {
+        r["doc_id"]: r["n_extracted_tokens"]
+        for r in annotated.filter(F.col("doc_id").isin(list(kept_train)))
+        .collect()
+    }
+    per_doc: dict[int, int] = {}
+    for r in ex:
+        per_doc[r["doc_id"]] = max(
+            per_doc.get(r["doc_id"], 0), r["token_start"] + r["n_tokens"]
+        )
+    assert per_doc == tok_counts
+    # bin budget: sum of chunk tokens per (shard, bin) <= ctx_len unless
+    # the bin is a single flagged-oversize chunk (ctx-sized chunks can't
+    # exceed ctx, so no bin may be oversize here)
+    bins: dict[tuple, int] = {}
+    for r in ex:
+        assert not r["bin_oversize"]
+        bins[(r["shard"], r["bin_idx"])] = (
+            bins.get((r["shard"], r["bin_idx"]), 0) + r["n_tokens"]
+        )
+    assert all(v <= 64 for v in bins.values())
+
+    # determinism: the same corpus yields the same funnel + examples
+    _, ex2, funnel2 = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, stride=48,
+        quality_floor=0.0, near_threshold=0.25,
+    )
+    assert funnel2 == funnel
+    assert sorted(map(tuple, ex)) == sorted(map(tuple, ex2.collect()))
+
+
+def test_gate_that_drops_everything_is_total(spark):
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    docs, eval_docs = _corpus(spark)
+    annotated, examples, funnel = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, quality_floor=1.1
+    )
+    assert funnel["n_quality"] == 0 and funnel["n_kept"] == 0
+    assert funnel["n_chunks"] == 0 and examples.count() == 0
+    assert annotated.count() == funnel["n_input"]
