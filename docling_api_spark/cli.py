@@ -10,6 +10,10 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
   dedup-index --input <docs parquet> --index <dir>
           (report new-batch duplicates vs the committed signature index,
            then commit the batch's unseen contents as the next version)
+  corpus  --input <docs parquet> --eval <eval parquet> --output <dir>
+          (full training-corpus build: extract -> quality -> dedup ->
+           decontam -> split -> chunk -> pack; writes annotated/ and
+           examples/ parquet plus funnel.json, prints the funnel)
 
 Benchmarks live in bench.py at the repo root (not a subcommand here).
 """
@@ -61,6 +65,23 @@ def main(argv: list[str] | None = None) -> None:
                    help="optional parquet dir for the per-pair match report")
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
+    k = sub.add_parser("corpus")
+    k.add_argument("--input", required=True,
+                   help="parquet of raw documents (id + payload text)")
+    k.add_argument("--eval", required=True, dest="evalset",
+                   help="parquet of held-out eval documents to "
+                        "decontaminate against")
+    k.add_argument("--output", required=True,
+                   help="writes <output>/annotated, <output>/examples "
+                        "parquet and <output>/funnel.json")
+    k.add_argument("--ctx-len", type=int, default=512)
+    k.add_argument("--stride", type=int, default=None,
+                   help="token advance between chunk windows "
+                        "(default: ctx-len, disjoint)")
+    k.add_argument("--quality-floor", type=float, default=0.35)
+    k.add_argument("--near-threshold", type=float, default=0.6)
+    k.add_argument("--id-col", default="doc_id")
+    k.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
 
     from docling_api_spark.session import get_spark
@@ -98,6 +119,33 @@ def main(argv: list[str] | None = None) -> None:
             threshold=args.threshold, matches_out=args.matches_out,
         )
         print(json.dumps(summary))
+    elif args.cmd == "corpus":
+        import os
+
+        from docling_api_spark.plans.corpus_pipeline import (
+            build_training_examples,
+        )
+
+        annotated, examples, funnel = build_training_examples(
+            spark,
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.evalset),
+            ctx_len=args.ctx_len,
+            stride=args.stride,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            quality_floor=args.quality_floor,
+            near_threshold=args.near_threshold,
+        )
+        annotated.write.mode("overwrite").parquet(
+            os.path.join(args.output, "annotated")
+        )
+        examples.write.mode("overwrite").parquet(
+            os.path.join(args.output, "examples")
+        )
+        with open(os.path.join(args.output, "funnel.json"), "w") as f:
+            json.dump(funnel, f, sort_keys=True)
+        print(json.dumps(funnel, sort_keys=True))
     spark.stop()
 
 

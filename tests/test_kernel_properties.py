@@ -352,7 +352,10 @@ _INLINE_TAGS = ["em", "strong", "span", "code", "b", "i", "u", "small"]
 _BLOCK_ISH = ["p", "div", "section", "article", "blockquote", "pre",
               "h1", "h2", "h3", "h4", "nav", "header", "footer", "aside",
               "figure", "figcaption", "dl", "dt", "dd"]
-_ATTRS = ["", " class=\"c1\"", " id=\"x\"", " data-x=\"a>b\"", " disabled"]
+_ATTRS = ["", " class=\"c1\"", " id=\"x\"", " data-x=\"a>b\"", " disabled",
+          " data-y='a>b'", " class=plain", " title='it>s ok'"]
+_COMMENTS = ["<!-- note -->", "<!---->", "<!-- - -- - -->",
+             "<!-- <p>ghost words</p> -->", "<!--\nmulti line\n-->"]
 
 
 def _wrap(tag: str, attrs: str, kids, shout: bool = False) -> str:
@@ -404,9 +407,11 @@ def _element(draw, inner):
         body = draw(st.text(alphabet="abc =;(){}", max_size=30))
         tag = draw(st.sampled_from(["script", "style"]))
         return _wrap(tag, "", [body], shout)
-    if kind == 8:  # void tags between runs
+    if kind == 8:  # void tags / comments between runs (comment bodies —
+        # including tag-shaped ones — are invisible AND glue adjacent
+        # text on both sides, unlike the block-void br/hr word break)
         return draw(st.sampled_from(["<br>", "<hr>", "<img src=\"i\">",
-                                     "<br/>", "<hr />"]))
+                                     "<br/>", "<hr />"] + _COMMENTS))
     return draw(_WORDS)  # bare text between siblings
 
 
