@@ -52,32 +52,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+def _half_up(num, den, decimals: int):
+    """HALF_UP(num/den, decimals) over non-negative LONG columns in
+    exact integer arithmetic: floor((2*10^d*num + den) / (2*den)),
+    emitted as a double at scale d. Float round() is NOT engine-portable
+    (Spark HALF_UPs the double's shortest decimal string, DuckDB rounds
+    the binary; float sums are partition-order dependent besides) —
+    every driver query that rounds a sum/avg of fixed-point data goes
+    through this instead. (a - pmod(a, b)) / b divides exactly, so the
+    double division introduces no error."""
+    scale = 10 ** decimals
+    a = F.lit(2 * scale).cast("long") * num + den
+    b = F.lit(2).cast("long") * den
+    return ((a - F.pmod(a, b)) / b) / F.lit(float(scale))
+
+
+def _cents(col):
+    """2-decimal double -> exact long at scale 100 (round repairs the
+    double's representation error; inputs are promised 2-decimal)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def _sum2(col):
+    """Exact sum of a 2-decimal column: associative integer-cents sum
+    emitted as a double — identical under any partitioning or engine."""
+    return F.sum(_cents(col)) / F.lit(100.0)
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-family rollup, TPC-H Q1 shape (multi-agg groupBy; map-side
-    partial agg; scan prunes to 7 columns)."""
+    partial agg; scan prunes to 7 columns). All money/avg columns are
+    computed in exact scaled-integer space (quantity is integral, price/
+    discount are 2-decimal): integer sums are associative — identical
+    under any partitioning, AQE re-plan, or engine — and the rounds are
+    _half_up integer division, so no float-tie can split Spark vs the
+    oracle at any scale factor. disc_price rides at scale 10^4
+    (cents x percent): max ~1.05e9/row, < 2^63 for any SF this side of
+    ~10^9 rows per group x 10^9 each — loud overflow beats quiet drift."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    q_int = F.round(F.col("l_quantity"), 0).cast("long")
+    p_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d_pc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    g = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(q_int).alias("_sq"),
+            F.sum(p_c).alias("_sp"),
+            F.sum(p_c * (F.lit(100).cast("long") - d_pc)).alias("_sd4"),
+            F.sum(d_pc).alias("_sdisc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    n = F.col("count_order")
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_sq") * F.lit(1.0)).alias("sum_qty"),
+        (F.col("_sp") / F.lit(100.0)).alias("sum_base_price"),
+        _half_up(F.col("_sd4"), F.lit(10000).cast("long"), 2)
+        .alias("sum_disc_price"),
+        _half_up(F.col("_sq"), n, 4).alias("avg_qty"),
+        _half_up(F.col("_sdisc"), F.lit(100).cast("long") * n, 4)
+        .alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 def a1_total_value_success(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+P3: success filter then total (reference documents.py:76-78)."""
     ev = _t(spark, sf_dir, "events")
     return ev.filter(F.col("event_type") == "purchase").agg(
-        F.round(F.sum("value"), 2).alias("total_value"),
+        _sum2(F.col("value")).alias("total_value"),
         F.count(F.lit(1)).alias("n_success"),
     )
 
@@ -100,15 +146,19 @@ def a2_credit_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def a4_usage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: per-key usage stats (key_service.py:166-180 shape)."""
+    """A4: per-key usage stats (key_service.py:166-180 shape).
+    ``value`` is a 2-decimal metering quantity, so the rollup runs in
+    exact integer cents (value_decimals=2): the sum is associative (no
+    partition-order float drift) and the avg is HALF_UP at 4 decimals by
+    integer division — engine-identical even on true ties like user 51's
+    56.20875 at sf0.1, where float round() split Spark/DuckDB 1 ulp."""
     from docling_api_spark.operators.metering import usage_rollup
 
     ev = _t(spark, sf_dir, "events")
-    r = usage_rollup(ev, "user_id", "value", time_col="ts")
-    return r.select(
-        "user_id", "n_requests",
-        F.round("total_value", 2).alias("total_value"),
-        F.round("avg_value", 4).alias("avg_value"),
+    return usage_rollup(
+        ev, "user_id", "value", time_col="ts", value_decimals=2
+    ).select(
+        "user_id", "n_requests", "total_value", "avg_value",
         "first_seen", "last_seen",
     )
 
@@ -120,7 +170,7 @@ def a5_running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     agg = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("documents_processed"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        _sum2(F.col("o_totalprice")).alias("total_spent"),
     )
     return (
         agg.join(F.broadcast(cust), agg.o_custkey == cust.c_custkey, "inner")
@@ -137,7 +187,7 @@ def p4_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_window_filter(ev, "ts", AS_OF, 30)
         .filter(F.col("ts") < F.to_timestamp(F.lit(AS_OF)))
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum2(F.col("value")).alias("v"))
         .orderBy("event_type")
     )
 
@@ -152,7 +202,12 @@ def p7_bounds_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("o_orderstatus").isin("O", "F", "P")
         )
         .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_cents(F.col("o_totalprice"))).alias("_sc"))
+        .select("o_orderstatus", "n",
+                _half_up(F.col("_sc"),
+                         F.lit(100).cast("long") * F.col("n"), 2)
+                .alias("avg_price"))
         .orderBy("o_orderstatus")
     )
 
@@ -166,7 +221,7 @@ def j1_fk_rollup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _sum2(F.col("o_totalprice")).alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -245,8 +300,15 @@ def j4_parity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100).cast("long")
+                   - _cents(F.col("l_discount")))
+            ).alias("_s4"),
         )
+        .select("o_orderpriority", "n_lines",
+                _half_up(F.col("_s4"), F.lit(10000).cast("long"), 2)
+                .alias("revenue"))
         .orderBy("o_orderpriority")
     )
 
@@ -279,19 +341,44 @@ def a6_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-status count (formerly query a3_status_counts — same table, same
     grain; one shuffle serves all seven aggregates)."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    v_c = _cents(F.col("value"))
+    g = (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # min/max of a single 2-decimal double: round(.,2) is exact
+            # and engine-identical (the shortest repr has <= 2 decimals)
             F.round(F.min("value"), 2).alias("min_v"),
             F.round(F.max("value"), 2).alias("max_v"),
-            F.round(F.avg("value"), 4).alias("avg_v"),
-            F.round(F.stddev("value"), 4).alias("stddev_v"),
+            F.sum(v_c).alias("_s"),
+            F.sum(v_c * v_c).alias("_ss"),
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         )
-        .orderBy("event_type")
     )
+    n = F.col("n")
+    # sample variance from EXACT integer moments: (n*SS - S^2)/(n*(n-1))
+    # in cents^2, /1e4 to value units. The products are computed in
+    # DOUBLE (S^2 and n*SS overflow int64 at ~1e10 cents-sums; DuckDB
+    # would raise, Spark would wrap) — both engines run the identical
+    # IEEE ops on the identical exact longs, so the doubles still match
+    # bit-for-bit before the final round. (The round(.,4) of a sqrt
+    # retains the measure-zero shortest-string tie caveat.)
+    var = (
+        (n.cast("double") * F.col("_ss").cast("double")
+         - F.col("_s").cast("double") * F.col("_s").cast("double"))
+        / (n * (n - F.lit(1).cast("long"))).cast("double")
+    ) / F.lit(10000.0)
+    return g.select(
+        "event_type",
+        "n",
+        "min_v",
+        "max_v",
+        _half_up(F.col("_s"), F.lit(100).cast("long") * n, 4).alias("avg_v"),
+        F.when(n > 1, F.round(F.sqrt(var), 4)).alias("stddev_v"),
+        "p50",
+        "p95",
+    ).orderBy("event_type")
 
 
 def a7_keyword_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,8 +389,16 @@ def a7_keyword_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.contains(F.lower("text"), F.lit(k))).cast("int") for k in kws
     )
     return d.agg(
-        F.round(F.avg(hits / F.lit(len(kws))), 6).alias("avg_accuracy"),
+        F.sum(hits.cast("long")).alias("_sh"),
+        F.count(F.lit(1)).alias("_n"),
         F.sum((hits == len(kws)).cast("long")).alias("n_full_hits"),
+    ).select(
+        # avg accuracy = sum(hits)/(k*n), HALF_UP at 6 by integer div —
+        # the per-row rational hits/k ties at scale 6 for some k
+        _half_up(F.col("_sh"),
+                 F.lit(len(kws)).cast("long") * F.col("_n"), 6)
+        .alias("avg_accuracy"),
+        "n_full_hits",
     )
 
 
@@ -364,7 +459,7 @@ def rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum("o_totalprice"), 2).alias("total"))
+             _sum2(F.col("o_totalprice")).alias("total"))
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
@@ -814,13 +909,26 @@ def pipeline_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = extract_text_column(d, keep_cols=["doc_id", "source"])
     q = with_quality_score(ext.filter(F.col("status") == "success"),
                            text_col="extracted_text")
+    # quality_score is an exact multiple of 1e-4 (textstats._ratio_e4),
+    # so the avg is computed on the e4 integers: associative sum + one
+    # HALF_UP integer division, no float-order or round-tie exposure
+    q_e4 = F.round(F.col("quality_score") * 10000, 0).cast("long")
     return (
         q.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct(F.sha2("extracted_text", 256)).alias("n_unique"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(q_e4).alias("_sq"),
             F.sum("pages").alias("total_pages"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            _half_up(F.col("_sq"),
+                     F.lit(10000).cast("long") * F.col("n_docs"), 4)
+            .alias("avg_quality"),
+            "total_pages",
         )
         .orderBy("source")
     )
@@ -1059,20 +1167,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
+            -- exact scaled-integer mirror of the Spark query: integer
+            -- sums (associative) + HALF_UP-by-integer-division rounds
+            -- (floor((2*10^d*num + den)/(2*den))) — float round() ties
+            -- and sum order are not engine-portable
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       round(l_quantity)::BIGINT AS q,
+                       round(l_extendedprice * 100)::BIGINT AS p_c,
+                       round(l_discount * 100)::BIGINT AS d_pc
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            ), g AS (
+                SELECT l_returnflag, l_linestatus,
+                       sum(q) AS sq, sum(p_c) AS sp,
+                       sum(p_c * (100 - d_pc)) AS sd4,
+                       sum(d_pc) AS sdisc,
+                       count(*) AS n
+                FROM c GROUP BY l_returnflag, l_linestatus
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_discount), 4) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
+                   sq * 1.0 AS sum_qty,
+                   sp / 100.0 AS sum_base_price,
+                   ((2 * 100 * sd4 + 10000) // (2 * 10000)) / 100.0
+                       AS sum_disc_price,
+                   ((2 * 10000 * sq + n) // (2 * n)) / 10000.0 AS avg_qty,
+                   ((2 * 10000 * sdisc + 100 * n) // (2 * 100 * n))
+                       / 10000.0 AS avg_disc,
+                   n AS count_order
+            FROM g
             ORDER BY l_returnflag, l_linestatus
         """,
         "a1_total_value_success": """
-            SELECT round(sum(value), 2) AS total_value, count(*) AS n_success
+            -- exact integer-cents sum (see q1 note)
+            SELECT sum(round(value * 100)::BIGINT) / 100.0 AS total_value,
+                   count(*) AS n_success
             FROM events WHERE event_type = 'purchase'
         """,
         "a2_credit_formula": """
@@ -1082,29 +1211,43 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "a4_usage_rollup": """
+            -- exact integer-cents rollup mirroring usage_rollup
+            -- (value_decimals=2): associative integer sum, HALF_UP avg
+            -- at 4 decimals by integer division (float sum order and
+            -- round() ties diverge between engines — user 51 at sf0.1)
+            WITH c AS (
+                SELECT user_id, round(value * 100)::BIGINT AS v, ts
+                FROM events
+            )
             SELECT user_id, count(*) AS n_requests,
-                   round(sum(value), 2) AS total_value,
-                   round(avg(value), 4) AS avg_value,
+                   sum(v) / 100.0 AS total_value,
+                   ((2 * 10000 * sum(v) + 100 * count(*))
+                    // (2 * 100 * count(*))) / 10000.0 AS avg_value,
                    min(ts) AS first_seen, max(ts) AS last_seen
-            FROM events GROUP BY user_id
+            FROM c GROUP BY user_id
         """,
         "a5_running_counters": """
             SELECT c_custkey, c_name,
                    count(*) AS documents_processed,
-                   round(sum(o_totalprice), 2) AS total_spent
+                   sum(round(o_totalprice * 100)::BIGINT) / 100.0
+                       AS total_spent
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
         """,
         "p4_time_window": f"""
-            SELECT event_type, count(*) AS n, round(sum(value), 2) AS v
+            SELECT event_type, count(*) AS n,
+                   sum(round(value * 100)::BIGINT) / 100.0 AS v
             FROM events
             WHERE ts >= TIMESTAMP '{AS_OF}' - INTERVAL 30 DAYS
               AND ts < TIMESTAMP '{AS_OF}'
             GROUP BY event_type ORDER BY event_type
         """,
         "p7_bounds_filter": """
+            -- HALF_UP avg by exact integer division (see q1 note)
             SELECT o_orderstatus, count(*) AS n,
-                   round(avg(o_totalprice), 2) AS avg_price
+                   ((2 * 100 * sum(round(o_totalprice * 100)::BIGINT)
+                     + 100 * count(*))
+                    // (2 * 100 * count(*))) / 100.0 AS avg_price
             FROM orders
             WHERE o_totalprice > 0 AND o_totalprice <= 500000
               AND o_orderstatus IN ('O', 'F', 'P')
@@ -1122,22 +1265,42 @@ def oracle_sql() -> dict[str, str]:
             FROM part
         """,
         "a6_latency_stats": """
-            SELECT event_type,
-                   count(*) AS n,
-                   round(min(value), 2) AS min_v,
-                   round(max(value), 2) AS max_v,
-                   round(avg(value), 4) AS avg_v,
-                   round(stddev_samp(value), 4) AS stddev_v,
-                   round(quantile_cont(value, 0.5), 4) AS p50,
-                   round(quantile_cont(value, 0.95), 4) AS p95
-            FROM events GROUP BY event_type ORDER BY event_type
+            -- avg from exact integer cents; stddev from exact integer
+            -- moments ((n*SS - S^2)/(n*(n-1)) in cents^2, same IEEE
+            -- ops both engines); min/max of single 2-decimal values
+            -- round exactly (see q1 note)
+            WITH c AS (
+                SELECT event_type, value,
+                       round(value * 100)::BIGINT AS v FROM events
+            ), g AS (
+                SELECT event_type, count(*) AS n,
+                       round(min(value), 2) AS min_v,
+                       round(max(value), 2) AS max_v,
+                       sum(v) AS s, sum(v * v) AS ss,
+                       round(quantile_cont(value, 0.5), 4) AS p50,
+                       round(quantile_cont(value, 0.95), 4) AS p95
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type, n, min_v, max_v,
+                   ((2 * 10000 * s + 100 * n) // (2 * 100 * n)) / 10000.0
+                       AS avg_v,
+                   CASE WHEN n > 1 THEN
+                       round(sqrt(((n::DOUBLE * ss::DOUBLE
+                                    - s::DOUBLE * s::DOUBLE)
+                                   / (n * (n - 1))::DOUBLE)
+                                  / 10000.0), 4)
+                   END AS stddev_v,
+                   p50, p95
+            FROM g ORDER BY event_type
         """,
         "a7_keyword_accuracy": """
-            SELECT round(avg((
-                       (CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END
+            SELECT ((2 * 1000000 *
+                       sum((CASE WHEN contains(lower(text), 'spark') THEN 1 ELSE 0 END
                         + CASE WHEN contains(lower(text), 'table') THEN 1 ELSE 0 END
                         + CASE WHEN contains(lower(text), 'query') THEN 1 ELSE 0 END
-                       )::DOUBLE / 3)), 6) AS avg_accuracy,
+                       )::BIGINT)
+                     + 3 * count(*)) // (2 * 3 * count(*))) / 1000000.0
+                       AS avg_accuracy,
                    CAST(sum(CASE WHEN contains(lower(text), 'spark')
                                   AND contains(lower(text), 'table')
                                   AND contains(lower(text), 'query')
@@ -1179,7 +1342,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_status": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   round(sum(o_totalprice), 2) AS total
+                   sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS total
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -1214,7 +1377,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j1_fk_rollup_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS revenue
+                   sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
@@ -1226,8 +1389,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id
         """,
         "j4_parity_join": """
+            -- scale-4 integers (cents x percent), HALF_UP at 2 (q1 note)
             SELECT o_orderpriority, count(*) AS n_lines,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   ((2 * 100 * sum(round(l_extendedprice * 100)::BIGINT
+                                   * (100 - round(l_discount * 100)::BIGINT))
+                     + 10000) // (2 * 10000)) / 100.0 AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
@@ -1510,18 +1676,26 @@ def oracle_sql() -> dict[str, str]:
                        greatest(len(toks), 1) AS n_tok
                 FROM t
             )
+            -- all three ratios are HALF_UP at 4 decimals via EXACT
+            -- integer arithmetic (floor((20000*num + den)/(2*den)))
+            -- mirroring operators/textstats._ratio_e4: float round()
+            -- diverges between engines on true rational ties (Spark
+            -- HALF_UPs the shortest decimal string, DuckDB rounds the
+            -- binary — doc 311 at sf0.001 is exactly 0.25125)
             SELECT doc_id,
-                   round(n_stop::DOUBLE / n_tok, 4) AS stopword_ratio,
-                   round(
-                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
-                       / greatest(length(text), 1),
-                       4
-                   ) AS punct_ratio,
-                   round(
-                       least(length(text) / 500.0, 1.0) * 0.5
-                       + least(n_stop::DOUBLE / n_tok * 5.0, 1.0) * 0.5,
-                       4
-                   ) AS quality_score
+                   ((20000::BIGINT * n_stop + n_tok) // (2 * n_tok))
+                       / 10000.0 AS stopword_ratio,
+                   ((20000::BIGINT
+                     * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     + greatest(length(text), 1))
+                    // (2 * greatest(length(text), 1)))
+                       / 10000.0 AS punct_ratio,
+                   ((20000::BIGINT
+                     * (least(length(text), 500) * 2 * n_tok
+                        + 1000 * least(5 * n_stop, n_tok))
+                     + 2000 * n_tok)
+                    // (2 * 2000 * n_tok))
+                       / 10000.0 AS quality_score
             FROM s
         """,
         "text_langid": """
@@ -1634,22 +1808,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source, text,
                        regexp_split_to_array(trim(text), '\\s+') AS toks
                 FROM documents
-            ), sc AS (
+            ), st AS (
                 SELECT source, text,
-                       round(
-                           least(length(text) / 500.0, 1.0) * 0.5
-                           + least(
-                               len(list_filter(toks, x -> list_contains(
-                                   ['the','a','of','and','to','in','is','it','that','for'],
-                                   lower(x))))::DOUBLE
-                               / greatest(len(toks), 1) * 5.0, 1.0) * 0.5,
-                           4
-                       ) AS quality_score
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','a','of','and','to','in','is','it','that','for'],
+                           lower(x))))::BIGINT AS n_stop,
+                       greatest(len(toks), 1)::BIGINT AS n_tok
                 FROM q
+            ), sc AS (
+                -- exact-integer HALF_UP at 4 decimals, mirroring
+                -- operators/textstats._ratio_e4 (see text_quality note)
+                SELECT source, text,
+                       ((20000::BIGINT
+                         * (least(length(text), 500) * 2 * n_tok
+                            + 1000 * least(5 * n_stop, n_tok))
+                         + 2000 * n_tok)
+                        // (2 * 2000 * n_tok))
+                           / 10000.0 AS quality_score
+                FROM st
             )
             SELECT source, count(*) AS n_docs,
                    count(DISTINCT sha256(text)) AS n_unique,
-                   round(avg(quality_score), 4) AS avg_quality,
+                   -- avg over the exact e4 integers (q1 note)
+                   ((2 * sum(round(quality_score * 10000)::BIGINT)
+                     + count(*)) // (2 * count(*))) / 10000.0
+                       AS avg_quality,
                    CAST(count(*) AS BIGINT) AS total_pages
             FROM sc GROUP BY source ORDER BY source
         """,

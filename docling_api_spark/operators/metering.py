@@ -40,17 +40,66 @@ def total_pages(df: DataFrame, pages_col: str = "pages") -> DataFrame:
 
 
 def usage_rollup(df: DataFrame, key_col: str, value_col: str,
-                 time_col: str | None = None) -> DataFrame:
+                 time_col: str | None = None,
+                 value_decimals: int | None = None,
+                 avg_decimals: int = 4) -> DataFrame:
     """A4 — per-key usage stats (count / sum / avg), the shape of
-    get_usage_stats (key_service.py:166-180)."""
-    aggs = [
+    get_usage_stats (key_service.py:166-180).
+
+    ``value_decimals``: when the value column is a fixed-point quantity
+    (money in cents, 2-decimal metering values), pass its decimal count
+    and the sum/avg are computed in EXACT scaled-integer arithmetic:
+    each value becomes a long at that scale, the sum is an associative
+    integer sum, and the avg is HALF_UP at ``avg_decimals`` via integer
+    division. This is the correct shape at cluster scale — a plain
+    double sum is partition-ORDER dependent (AQE re-plans, shuffles, and
+    engine differences each reorder the fold, and avg ties at the
+    rounding digit flip: user 51 at sf0.1 is exactly 56.20875) — and it
+    keeps the repo's no-batch-boundary-dependence invariant. With
+    ``value_decimals=None`` the legacy float sum/avg is kept for
+    genuinely continuous values (documented caveat: order-sensitive in
+    the last ulps)."""
+    if value_decimals is None:
+        aggs = [
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(value_col).alias("total_value"),
+            F.avg(value_col).alias("avg_value"),
+        ]
+        if time_col:
+            aggs += [F.min(time_col).alias("first_seen"),
+                     F.max(time_col).alias("last_seen")]
+        return df.groupBy(key_col).agg(*aggs)
+
+    vscale = 10 ** value_decimals
+    ascale = 10 ** avg_decimals
+    # value -> exact scaled long (round() repairs the double's
+    # representation error; values are promised to have value_decimals
+    # decimals, so the nearest integer is never near a .5 tie)
+    v_int = F.round(F.col(value_col) * vscale, 0).cast("long")
+    g = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_requests"),
-        F.sum(value_col).alias("total_value"),
-        F.avg(value_col).alias("avg_value"),
+        F.sum(v_int).alias("_sum_int"),
+        *(
+            [F.min(time_col).alias("first_seen"),
+             F.max(time_col).alias("last_seen")]
+            if time_col else []
+        ),
+    )
+    # avg = sum_int / (vscale * n), HALF_UP at avg_decimals:
+    # floor((2*ascale*sum_int + vscale*n) / (2*vscale*n)) / ascale —
+    # all longs; (a - pmod(a,b))/b is an exactly-divisible double div
+    a = (F.lit(2 * ascale).cast("long") * F.col("_sum_int")
+         + F.lit(vscale).cast("long") * F.col("n_requests"))
+    b = (F.lit(2 * vscale).cast("long") * F.col("n_requests"))
+    cols = [
+        key_col,
+        "n_requests",
+        (F.col("_sum_int") / F.lit(float(vscale))).alias("total_value"),
+        (((a - F.pmod(a, b)) / b) / F.lit(float(ascale))).alias("avg_value"),
     ]
     if time_col:
-        aggs += [F.min(time_col).alias("first_seen"), F.max(time_col).alias("last_seen")]
-    return df.groupBy(key_col).agg(*aggs)
+        cols += ["first_seen", "last_seen"]
+    return g.select(*cols)
 
 
 def time_window_filter(df: DataFrame, time_col: str, as_of: str, days: int) -> DataFrame:

@@ -37,28 +37,50 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ratio_e4(num, den):
+    """HALF_UP(num/den, 4 decimals) in EXACT integer arithmetic:
+    floor((2*10^4*num + den) / (2*den)) for non-negative long num/den,
+    emitted as the e4-integer / 10^4.0 double. Engine-portable where
+    float `round` is NOT: Spark HALF_UPs the double's shortest DECIMAL
+    string while DuckDB rounds the BINARY value, so a true rational tie
+    like 8040/32000 = 0.25125 rounds to 0.2513 vs 0.2512 (hit at
+    sf0.001, doc 311). Integer div sidesteps both: the same e4 integer
+    (<= ~10^4, exact in double) on every engine. The inner division is
+    (a - pmod(a,b))/b — exactly divisible, so the double division is
+    exact; no `div` operator needed inside a composed expression."""
+    a = F.lit(20000).cast("long") * num.cast("long") + den.cast("long")
+    b = F.lit(2).cast("long") * den.cast("long")
+    return ((a - F.pmod(a, b)) / b) / F.lit(10000.0)
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality features: stopword ratio, punctuation ratio,
     and a length-saturating score in [0,1]. (The C4/C5-free analog of the
     reference's content 'accuracy' keyword scoring,
-    scripts/test_production.py:356-368.)"""
+    scripts/test_production.py:356-368.) All three columns are
+    HALF_UP-rounded rationals computed in exact integer arithmetic
+    (see _ratio_e4) so every engine produces bit-identical doubles."""
     toks = _tokens(F.col(text_col))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
     n_tok = F.greatest(F.size(toks), F.lit(1))
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     chars = F.greatest(F.length(text_col), F.lit(1))
+    # quality = min(len,500)/1000 + min(5*n_stop, n_tok)/(2*n_tok)
+    #         = (min(len,500)*2*n_tok + 1000*min(5*n_stop, n_tok))
+    #           / (2000*n_tok)                       — one exact rational
+    q_num = (
+        F.least(F.length(text_col).cast("long"), F.lit(500).cast("long"))
+        * F.lit(2).cast("long") * n_tok.cast("long")
+        + F.lit(1000).cast("long")
+        * F.least(F.lit(5).cast("long") * n_stop.cast("long"),
+                  n_tok.cast("long"))
+    )
+    q_den = F.lit(2000).cast("long") * n_tok.cast("long")
     return (
-        df.withColumn("stopword_ratio", F.round((n_stop / n_tok).cast("double"), 4))
-        .withColumn("punct_ratio", F.round((punct / chars).cast("double"), 4))
-        .withColumn(
-            "quality_score",
-            F.round(
-                F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0)) * 0.5
-                + F.least((n_stop / n_tok) * 5.0, F.lit(1.0)) * 0.5,
-                4,
-            ),
-        )
+        df.withColumn("stopword_ratio", _ratio_e4(n_stop, n_tok))
+        .withColumn("punct_ratio", _ratio_e4(punct, chars))
+        .withColumn("quality_score", _ratio_e4(q_num, q_den))
     )
 
 
