@@ -1466,12 +1466,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 )
             )
+            -- HALF_UP at 6 by exact integer division (q1 note)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(
-                       len(list_intersect(a.g, b.g))::DOUBLE
-                       / greatest(len(list_distinct(list_concat(a.g, b.g))), 1),
-                       6
-                   ) AS ngram_jaccard
+                   ((2 * 1000000 * len(list_intersect(a.g, b.g))::BIGINT
+                     + greatest(len(list_distinct(list_concat(a.g, b.g))), 1))
+                    // (2 * greatest(len(list_distinct(list_concat(a.g, b.g))), 1)))
+                       / 1000000.0 AS ngram_jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
             ORDER BY id_a
         """,

@@ -320,15 +320,22 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     )
     a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("long")
+    union = F.greatest(
+        F.size(F.array_union("g_a", "g_b")), F.lit(1)
+    ).cast("long")
+    # HALF_UP(inter/union, 6) by exact integer division — float round()
+    # splits engines on true rational ties (an odd intersection over a
+    # 128-gram union is exactly x.xxxxxx5); same pattern as
+    # textstats._ratio_e4
+    num = F.lit(2_000_000).cast("long") * inter + union
+    den = F.lit(2).cast("long") * union
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a", "id_b",
-            F.round(
-                F.size(F.array_intersect("g_a", "g_b"))
-                / F.greatest(F.size(F.array_union("g_a", "g_b")), F.lit(1)),
-                6,
-            ).alias("ngram_jaccard"),
+            (((num - F.pmod(num, den)) / den) / F.lit(1_000_000.0))
+            .alias("ngram_jaccard"),
         )
     )
 
