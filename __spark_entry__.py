@@ -1606,8 +1606,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT t.doc_id, t.n_grams, h.n_contaminated_grams,
                    h.n_eval_docs_hit,
-                   round(h.n_contaminated_grams::DOUBLE
-                         / greatest(t.n_grams, 1), 6) AS contamination_rate
+                   ((2 * 1000000 * h.n_contaminated_grams::BIGINT
+                     + greatest(t.n_grams, 1))
+                    // (2 * greatest(t.n_grams, 1)))
+                       / 1000000.0 AS contamination_rate
             FROM hit h JOIN tot t USING (doc_id)
             ORDER BY doc_id
         """,
@@ -1727,11 +1729,19 @@ def oracle_sql() -> dict[str, str]:
                        END AS lang_pred
                 FROM t
             )
+            -- (max(total,1) - distinct)/max(total,1), HALF_UP at 6 by
+            -- exact integer division (q1 note)
             SELECT p.doc_id, p.lang, p.lang_pred,
-                   round(1.0 - len(list_distinct(g.g2))::DOUBLE
-                             / greatest(len(g.g2), 1), 6) AS dup_2gram_frac,
-                   round(1.0 - len(list_distinct(g.g3))::DOUBLE
-                             / greatest(len(g.g3), 1), 6) AS dup_3gram_frac
+                   ((2 * 1000000
+                       * (greatest(len(g.g2), 1) - len(list_distinct(g.g2)))::BIGINT
+                     + greatest(len(g.g2), 1))
+                    // (2 * greatest(len(g.g2), 1)))
+                       / 1000000.0 AS dup_2gram_frac,
+                   ((2 * 1000000
+                       * (greatest(len(g.g3), 1) - len(list_distinct(g.g3)))::BIGINT
+                     + greatest(len(g.g3), 1))
+                    // (2 * greatest(len(g.g3), 1)))
+                       / 1000000.0 AS dup_3gram_frac
             FROM p JOIN g USING (doc_id)
         """,
         "extract_documents": r"""

@@ -102,14 +102,19 @@ def ngram_decontaminate(
             F.countDistinct("_eval_doc").alias("n_eval_docs_hit"),
         )
     )
+    from docling_api_spark.operators.textstats import _ratio_e4
+
     return hits.select(
         id_col,
         "n_grams",
         "n_contaminated_grams",
         "n_eval_docs_hit",
-        F.round(
-            F.col("n_contaminated_grams")
-            / F.greatest(F.col("n_grams"), F.lit(1)),
+        # HALF_UP at 6 by exact integer division — the rational
+        # contaminated/total ties at the rounding digit for the right
+        # gram totals, where float round splits engines (see _ratio_e4)
+        _ratio_e4(
+            F.col("n_contaminated_grams"),
+            F.greatest(F.col("n_grams"), F.lit(1)),
             6,
         ).alias("contamination_rate"),
     )

@@ -37,20 +37,21 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _ratio_e4(num, den):
-    """HALF_UP(num/den, 4 decimals) in EXACT integer arithmetic:
-    floor((2*10^4*num + den) / (2*den)) for non-negative long num/den,
-    emitted as the e4-integer / 10^4.0 double. Engine-portable where
+def _ratio_e4(num, den, decimals: int = 4):
+    """HALF_UP(num/den, decimals) in EXACT integer arithmetic:
+    floor((2*10^d*num + den) / (2*den)) for non-negative long num/den,
+    emitted as the scaled integer / 10^d double. Engine-portable where
     float `round` is NOT: Spark HALF_UPs the double's shortest DECIMAL
     string while DuckDB rounds the BINARY value, so a true rational tie
     like 8040/32000 = 0.25125 rounds to 0.2513 vs 0.2512 (hit at
-    sf0.001, doc 311). Integer div sidesteps both: the same e4 integer
-    (<= ~10^4, exact in double) on every engine. The inner division is
+    sf0.001, doc 311). Integer div sidesteps both: the same scaled
+    integer (exact in double) on every engine. The inner division is
     (a - pmod(a,b))/b — exactly divisible, so the double division is
     exact; no `div` operator needed inside a composed expression."""
-    a = F.lit(20000).cast("long") * num.cast("long") + den.cast("long")
+    scale = 10 ** decimals
+    a = F.lit(2 * scale).cast("long") * num.cast("long") + den.cast("long")
     b = F.lit(2).cast("long") * den.cast("long")
-    return ((a - F.pmod(a, b)) / b) / F.lit(10000.0)
+    return ((a - F.pmod(a, b)) / b) / F.lit(float(scale))
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -139,13 +140,12 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         raise ValueError("column name '_rep_toks' is reserved")
 
     def dup_frac(n: int):
+        # 1 - distinct/total = (max(total,1) - distinct)/max(total,1),
+        # HALF_UP at 6 by exact integer division (rational ties split
+        # Spark/DuckDB float round, see _ratio_e4)
         g = shingles_of_tokens(F.col("_rep_toks"), n)
-        return F.round(
-            (F.lit(1.0)
-             - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1))
-             ).cast("double"),
-            6,
-        )
+        total = F.greatest(F.size(g), F.lit(1))
+        return _ratio_e4(total - F.size(F.array_distinct(g)), total, 6)
 
     return (
         df.withColumn("_rep_toks", _tokens(F.col(text_col)))
