@@ -244,7 +244,10 @@ def test_close_inside_skip_region_is_inert():
             ["<em>", "</em>", "<a href=x>", "</a>", "<p>", "</p>", "<b>",
              "</b>", "<script>", "</script>", "<nav>", "</nav>", "text ",
              BODY, "<ul>", "<li>", "</li>", "</ul>", "<table>", "<tr>",
-             "<td>", "</td>", "</tr>", "</table>"]
+             "<td>", "</td>", "</tr>", "</table>",
+             # malformed comment fragments: unterminated openers, bare
+             # closers, dash runs — the masking scanner must stay total
+             "<!--", "-->", "<!-- x", "--", "<!--->"]
         ),
         max_size=30,
     )
