@@ -30,3 +30,27 @@ s = json.loads('''$OUT''')
 assert s["rows"] > 0 and s["buckets"], s
 print("package check OK:", s["rows"], "rows,", len(s["buckets"]), "buckets")
 EOF
+
+# the corpus surface ships through the same zip (exercises the operator
+# and plan layers: extract/quality/dedup/graph/decontam/split/chunk/pack)
+python - <<EOF
+import sys; sys.path.insert(0, ".")
+from docling_api_spark.session import get_spark
+s = get_spark(app_name="pkg-docs", master="local[4]", shuffle_partitions=4)
+d = s.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+d.filter("doc_id % 10 <> 8").write.mode("overwrite").parquet("$WORK/docs")
+d.filter("doc_id % 10 = 8").write.mode("overwrite").parquet("$WORK/eval")
+s.stop()
+EOF
+FUNNEL=$(spark-submit --master 'local[4]' --py-files "$WORK/das.zip" \
+      docling_api_spark/cli.py corpus --input "$WORK/docs" --eval "$WORK/eval" \
+      --output "$WORK/corpus" --ctx-len 128 --stride 96 --near-threshold 0.4 \
+      2>/dev/null | tail -1)
+echo "$FUNNEL"
+python - <<EOF
+import json
+f = json.loads('''$FUNNEL''')
+assert f["n_input"] >= f["n_extracted"] >= f["n_quality"] >= f["n_kept"] > 0, f
+assert f["n_kept"] == f["n_train"] + f["n_val"] + f["n_test"], f
+print("corpus package check OK:", f["n_kept"], "kept,", f["n_chunks"], "chunks")
+EOF
