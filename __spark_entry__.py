@@ -1221,8 +1221,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_requests,
                    sum(v) / 100.0 AS total_value,
-                   ((2 * 10000 * sum(v) + 100 * count(*))
-                    // (2 * 100 * count(*))) / 10000.0 AS avg_value,
+                   -- avg denominator is count(v): NULL values are
+                   -- excluded, matching F.avg / usage_rollup semantics
+                   ((2 * 10000 * sum(v) + 100 * count(v))
+                    // (2 * 100 * count(v))) / 10000.0 AS avg_value,
                    min(ts) AS first_seen, max(ts) AS last_seen
             FROM c GROUP BY user_id
         """,

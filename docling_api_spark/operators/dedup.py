@@ -320,22 +320,22 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     )
     a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
-    inter = F.size(F.array_intersect("g_a", "g_b")).cast("long")
-    union = F.greatest(
-        F.size(F.array_union("g_a", "g_b")), F.lit(1)
-    ).cast("long")
     # HALF_UP(inter/union, 6) by exact integer division — float round()
     # splits engines on true rational ties (an odd intersection over a
-    # 128-gram union is exactly x.xxxxxx5); same pattern as
-    # textstats._ratio_e4
-    num = F.lit(2_000_000).cast("long") * inter + union
-    den = F.lit(2).cast("long") * union
+    # 128-gram union is exactly x.xxxxxx5). ONE definition of the rule:
+    # textstats._ratio_e4 (function-level import; textstats imports this
+    # module only inside function bodies, so there is no cycle)
+    from docling_api_spark.operators.textstats import _ratio_e4
+
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .select(
             "id_a", "id_b",
-            (((num - F.pmod(num, den)) / den) / F.lit(1_000_000.0))
-            .alias("ngram_jaccard"),
+            _ratio_e4(
+                F.size(F.array_intersect("g_a", "g_b")),
+                F.greatest(F.size(F.array_union("g_a", "g_b")), F.lit(1)),
+                6,
+            ).alias("ngram_jaccard"),
         )
     )
 
@@ -480,8 +480,15 @@ def incremental_near_duplicates(new_df: DataFrame, index: DataFrame,
     return (
         fan.join(rep_matches, "_rep")
         .select("new_id", "match_id", "jaccard_est", "method")
-        # a doc already committed to the index (an idempotent batch
-        # re-run) must not be reported as a duplicate of ITSELF
-        .filter(F.col("new_id") != F.col("match_id"))
+        # an EXACT self-pair is an idempotent batch re-run (the doc is
+        # byte-identical to its own committed row) — pure noise, drop.
+        # A MINHASH self-pair is the opposite: the same id re-crawled
+        # with DRIFTED content that still nears its old version — that
+        # drift signal must be reported (exact pairs are anti-joined out
+        # of the estimate path, so the two cases cannot overlap).
+        .filter(
+            ~((F.col("new_id") == F.col("match_id"))
+              & (F.col("method") == "exact"))
+        )
         .orderBy("new_id", "match_id")
     )

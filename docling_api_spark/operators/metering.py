@@ -79,23 +79,31 @@ def usage_rollup(df: DataFrame, key_col: str, value_col: str,
     g = df.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_requests"),
         F.sum(v_int).alias("_sum_int"),
+        # avg denominator counts NON-NULL values only — F.avg semantics;
+        # dividing the null-skipping sum by count(*) would silently
+        # deflate averages on nullable value columns
+        F.count(value_col).alias("_n_vals"),
         *(
             [F.min(time_col).alias("first_seen"),
              F.max(time_col).alias("last_seen")]
             if time_col else []
         ),
     )
-    # avg = sum_int / (vscale * n), HALF_UP at avg_decimals:
+    # avg = sum_int / (vscale * n_vals), HALF_UP at avg_decimals:
     # floor((2*ascale*sum_int + vscale*n) / (2*vscale*n)) / ascale —
-    # all longs; (a - pmod(a,b))/b is an exactly-divisible double div
+    # all longs; (a - pmod(a,b))/b is an exactly-divisible double div.
+    # All-NULL group: _sum_int is NULL -> avg_value NULL (F.avg parity).
     a = (F.lit(2 * ascale).cast("long") * F.col("_sum_int")
-         + F.lit(vscale).cast("long") * F.col("n_requests"))
-    b = (F.lit(2 * vscale).cast("long") * F.col("n_requests"))
+         + F.lit(vscale).cast("long") * F.col("_n_vals"))
+    b = (F.lit(2 * vscale).cast("long") * F.col("_n_vals"))
     cols = [
         key_col,
         "n_requests",
         (F.col("_sum_int") / F.lit(float(vscale))).alias("total_value"),
-        (((a - F.pmod(a, b)) / b) / F.lit(float(ascale))).alias("avg_value"),
+        F.when(
+            F.col("_n_vals") > 0,
+            ((a - F.pmod(a, b)) / b) / F.lit(float(ascale)),
+        ).alias("avg_value"),
     ]
     if time_col:
         cols += ["first_seen", "last_seen"]

@@ -67,7 +67,18 @@ def group_split(df: DataFrame, group_col: str,
         )
     if len({name for name, _ in splits}) != len(splits):
         raise ValueError("group_split names must be unique")
-    bucket = hash_bucket(F.col(group_col), salt)
+    # a NULL group key hashes to a NULL bucket, which would fall through
+    # every when() to the LAST split — 100% of keyless rows silently
+    # skewing the eval split. Fail loudly instead (same posture as
+    # graph.connected_components on non-castable ids).
+    key = F.when(
+        F.col(group_col).isNull(),
+        F.raise_error(F.lit(
+            f"group_split: NULL {group_col} cannot be assigned a split "
+            "(fill or filter keyless rows first)"
+        )).cast("string"),
+    ).otherwise(F.col(group_col).cast("string"))
+    bucket = hash_bucket(key, salt)
     expr = None
     edge = 0
     for name, bp in splits[:-1]:

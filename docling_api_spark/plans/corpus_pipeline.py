@@ -85,6 +85,9 @@ def annotate_corpus(
         .alias("n_extracted_tokens"),
         "quality_score",
         (F.col("status") == "success").alias("ok_extract"),
+        # hashed HERE so the exact-dedup stage reads the 32-byte column
+        # off the materialized base instead of re-hashing the full text
+        F.sha2("extracted_text", 256).alias("_sha"),
         # coalesce: a NULL quality under a success status must gate to
         # FALSE, not propagate NULL through the conjunctions downstream
         F.coalesce(
@@ -99,17 +102,16 @@ def annotate_corpus(
         base, id_col, splits=list(splits), salt=split_salt
     ).localCheckpoint(eager=True)
 
-    # B) exact dedup over quality survivors: min-id keeper per content
+    # B) exact dedup over quality survivors: min-id keeper per content,
+    # shuffling only the precomputed 32-byte hash column
     surv = base.filter("ok_quality").select(id_col, "extracted_text")
     keepers = (
-        surv.select(
-            id_col, F.sha2("extracted_text", 256).alias("_sha")
-        )
+        base.filter("ok_quality").select(id_col, "_sha")
         .groupBy("_sha")
         .agg(F.min(id_col).alias("exact_keeper"))
     )
     exact = (
-        surv.select(id_col, F.sha2("extracted_text", 256).alias("_sha"))
+        base.filter("ok_quality").select(id_col, "_sha")
         .join(keepers, "_sha")
         .select(id_col, "exact_keeper")
     )
@@ -170,6 +172,7 @@ def annotate_corpus(
             & ~F.col("is_near_dup")
             & ~F.col("contaminated"),
         )
+        .drop("_sha")  # internal scratch, not part of the verdict schema
     )
     return annotated.localCheckpoint(eager=True)
 
@@ -194,7 +197,9 @@ def corpus_funnel(annotated: DataFrame) -> dict:
             (F.col("final_keep") & (F.col("split") == "test")).cast("long")
         ).alias("n_test"),
     ).collect()[0]
-    return {k: int(row[k]) for k in row.asDict()}
+    # empty corpus: count() is 0 but the sums aggregate to NULL
+    return {k: int(row[k]) if row[k] is not None else 0
+            for k in row.asDict()}
 
 
 def build_training_examples(
@@ -238,8 +243,15 @@ def build_training_examples(
         id_col="chunk_id",
         token_count_col="n_tokens",
     )
-    examples = chunks.select(
-        "chunk_id", id_col, "chunk_idx", "token_start", "chunk_text"
-    ).join(packed, "chunk_id")
+    examples = (
+        chunks.select(
+            "chunk_id", id_col, "chunk_idx", "token_start", "chunk_text"
+        )
+        .join(packed, "chunk_id")
+        # materialize once: the chunk explode + packing shuffle + join
+        # otherwise re-executes for the funnel count AND again for every
+        # caller action (the CLI's parquet write)
+        .localCheckpoint(eager=True)
+    )
     funnel["n_chunks"] = examples.count()
     return annotated, examples, funnel

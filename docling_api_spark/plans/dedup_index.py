@@ -95,6 +95,8 @@ def update_index(
         signature_index,
     )
 
+    from docling_api_spark.operators.dedup import extend_signature_index
+
     os.makedirs(index_dir, exist_ok=True)
     # one signature pass over the batch feeds BOTH the match report and
     # the index extension
@@ -114,6 +116,25 @@ def update_index(
         version = 0
         grown = new_sig
         n_fresh = summary["n_input_distinct"]
+        if matches_out is not None:
+            # the first batch has nothing to match against, but a
+            # consumer of matches_out must still find a (schema-stable,
+            # empty) report — not a missing path
+            import pyspark.sql.types as T
+
+            empty = spark.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField("new_id",
+                                  new_df.schema[id_col].dataType),
+                    T.StructField("match_id",
+                                  new_df.schema[id_col].dataType),
+                    T.StructField("jaccard_est", T.DoubleType()),
+                    T.StructField("method", T.StringType()),
+                ]),
+            )
+            empty.write.mode("overwrite").parquet(matches_out)
+            summary["matches_out"] = matches_out
     else:
         matches = incremental_near_duplicates(
             new_df, index, id_col, text_col, threshold, new_sig=new_sig
@@ -141,7 +162,10 @@ def update_index(
                  "n_added": 0, "committed": False}
             )
             return summary
-        grown = index.unionByName(fresh)
+        # ONE definition of the extension rule (operators/dedup.py) —
+        # its internal anti-join over the already-disjoint `fresh` ids
+        # is a no-op shuffle on compact id rows
+        grown = extend_signature_index(index, fresh, id_col)
         version = state["version"] + 1
 
     out_dir = _version_dir(index_dir, version)
@@ -178,11 +202,17 @@ def dedup_index_ingest(
     Exactly-once without a transactional sink: the streaming checkpoint
     replays a failed micro-batch with the SAME batch_id, and every
     side effect here is an idempotent overwrite keyed by that id or by
-    content — the match report and summary overwrite their batch-keyed
-    paths, and ``update_index`` on already-committed ids anti-joins to an
-    empty fresh set and leaves the pointer untouched (a crash BETWEEN the
-    version-dir write and the pointer swap orphans the dir and the replay
-    rewrites it, the batch-CLI discipline unchanged).
+    content — the match report overwrites its batch-keyed path, the log
+    entry is first-write-wins, and ``update_index`` on already-committed
+    ids anti-joins to an empty fresh set and leaves the pointer untouched
+    (a crash BETWEEN the version-dir write and the pointer swap orphans
+    the dir and the replay rewrites it, the batch-CLI discipline
+    unchanged). One narrow crash window is recorded as-observed rather
+    than reconstructed: a crash AFTER the pointer swap but BEFORE the log
+    write makes the replay's log entry an n_added=0 no-op (the original
+    n_added is unrecoverable) — reconcile totals against the pointer
+    state carried in each entry (``index_rows``), not by summing
+    ``n_added``.
 
     Returns the started query; callers use Trigger.AvailableNow
     (``query.awaitTermination()`` drains everything currently on disk —
@@ -211,10 +241,16 @@ def dedup_index_ingest(
         summary["batch_id"] = batch_id
         log_dir = os.path.join(index_dir, "ingest_log")
         os.makedirs(log_dir, exist_ok=True)
+        dest = os.path.join(log_dir, f"batch-{batch_id:06d}.json")
+        if os.path.exists(dest):
+            # replay after a crash that landed BOTH the pointer swap and
+            # the log write: the original entry is the truth — keep it
+            # (the replay's view would be an n_added=0 no-op)
+            return
         tmp = os.path.join(log_dir, f".batch-{batch_id:06d}.tmp")
         with open(tmp, "w") as f:
             json.dump(summary, f, sort_keys=True)
-        os.replace(tmp, os.path.join(log_dir, f"batch-{batch_id:06d}.json"))
+        os.replace(tmp, dest)
 
     return (
         stream.writeStream.foreachBatch(_fold)

@@ -511,3 +511,38 @@ def test_dedup_index_update_and_idempotency(spark, tmp_path):
     exp_rows = {tuple(r) for r in expected.select(
         "doc_id", "content_sha", F.col("minhash").cast("string")).collect()}
     assert got_rows == exp_rows
+
+
+def test_dedup_index_drift_and_first_run_report(spark, tmp_path):
+    """Two review-found contracts: (1) a SAME-id re-crawl with DRIFTED
+    near-dup content is reported as a minhash_est self-pair (only exact
+    self-pairs — idempotent re-runs — are filtered); (2) the FIRST batch
+    writes an empty, schema-stable match report when asked."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.plans.dedup_index import update_index
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different words here")],
+        "doc_id long, text string",
+    )
+    idx_dir = str(tmp_path / "idx")
+    s1 = update_index(spark, b1, idx_dir, threshold=0.3,
+                      matches_out=str(tmp_path / "m0"))
+    assert s1["committed"] and s1["matches_out"]
+    m0 = spark.read.parquet(str(tmp_path / "m0"))
+    assert m0.count() == 0
+    assert set(m0.columns) == {"new_id", "match_id", "jaccard_est", "method"}
+
+    # doc 1 re-crawled with drifted (near-dup) content under the SAME id
+    drifted = base.replace("tok0 ", "tok0 extra ")
+    b2 = spark.createDataFrame([(1, drifted)], "doc_id long, text string")
+    s2 = update_index(spark, b2, idx_dir, threshold=0.3,
+                      matches_out=str(tmp_path / "m1"))
+    m1 = spark.read.parquet(str(tmp_path / "m1")).collect()
+    self_pairs = [r for r in m1 if r["new_id"] == r["match_id"] == 1]
+    assert len(self_pairs) == 1 and self_pairs[0]["method"] == "minhash_est"
+    # the drifted content is NOT committed (id already present) — the
+    # report is the signal; re-ingest under a new id commits it
+    assert s2["n_added"] == 0 and s2["committed"] is False

@@ -80,3 +80,42 @@ def test_group_split_leakage_free_and_deterministic(spark):
         group_split(t, "conv_id", splits=[("a", 5000), ("b", 4000)])
     with _pytest.raises(ValueError, match="unique"):
         group_split(t, "conv_id", splits=[("a", 5000), ("a", 5000)])
+
+
+def test_group_split_null_key_fails_loudly(spark):
+    import pytest as _pytest
+
+    from docling_api_spark.operators.sampling import group_split
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], "conv_id string, v long"
+    )
+    with _pytest.raises(Exception, match="NULL conv_id"):
+        group_split(df, "conv_id").collect()
+
+
+def test_usage_rollup_exact_matches_float_semantics(spark):
+    """value_decimals mode must agree with the legacy F.avg/F.sum path on
+    NULL handling: avg divides by the count of NON-NULL values, an
+    all-NULL group yields NULL sum/avg."""
+    from docling_api_spark.operators.metering import usage_rollup
+
+    df = spark.createDataFrame(
+        [("k1", 10.00), ("k1", None), ("k1", 5.50),
+         ("k2", None), ("k2", None),
+         ("k3", 1.25)],
+        "k string, value double",
+    )
+    exact = {r["k"]: r for r in usage_rollup(
+        df, "k", "value", value_decimals=2).collect()}
+    legacy = {r["k"]: r for r in usage_rollup(df, "k", "value").collect()}
+    for k in ("k1", "k2", "k3"):
+        assert exact[k]["n_requests"] == legacy[k]["n_requests"]
+        for col in ("total_value", "avg_value"):
+            e, l = exact[k][col], legacy[k][col]
+            assert (e is None) == (l is None), (k, col)
+            if e is not None:
+                assert abs(e - l) < 1e-9, (k, col, e, l)
+    assert exact["k1"]["avg_value"] == 7.75   # (10.00+5.50)/2, not /3
+    assert exact["k2"]["total_value"] is None
+    assert exact["k2"]["avg_value"] is None
