@@ -320,9 +320,7 @@ class _StdlibVisibleText(__import__("html.parser", fromlist=["HTMLParser"]).HTML
             self.out.append(data)
 
 
-def _kernel_visible_words(html_text: str):
-    import collections
-
+def _kernel_visible_word_seq(html_text: str) -> list:
     from docling_api_spark.extraction.kernel import (
         _parse_html,
         _Table,
@@ -336,7 +334,13 @@ def _kernel_visible_words(html_text: str):
                     words.extend(cell.split())
         else:
             words.extend(node.text().split())
-    return collections.Counter(words)
+    return words
+
+
+def _kernel_visible_words(html_text: str):
+    import collections
+
+    return collections.Counter(_kernel_visible_word_seq(html_text))
 
 
 _WORDS = st.lists(
@@ -435,3 +439,22 @@ def test_scanner_agrees_with_stdlib_parser_on_wellformed(html_text):
         f"kernel-only: {dict((got - expected))}, "
         f"stdlib-only: {dict((expected - got))}, input={html_text!r}"
     )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(_WELL_FORMED, min_size=1, max_size=5).map("".join)
+    .filter(lambda s: "<table" not in s)
+)
+def test_scanner_word_order_matches_stdlib_on_tablefree(html_text):
+    """ORDER-sensitive differential: outside tables (whose pipe-markdown
+    serialization legitimately reorders caption/thead relative to raw
+    character-data order), the kernel must emit visible words in exact
+    document order — a block-reordering bug would be invisible to the
+    multiset property above."""
+    ref = _StdlibVisibleText()
+    ref.feed(html_text)
+    ref.close()
+    expected = "".join(ref.out).split()
+    got = _kernel_visible_word_seq(html_text)
+    assert got == expected, f"input={html_text!r}"
