@@ -1,0 +1,164 @@
+"""Duplicated-span removal invariants, checked against a first-principles
+Python oracle: window hashing replicated with the Spark-validated pure
+xxh64 (tests/oracles.py), keeper/cut decisions recomputed from scratch,
+and the surviving token SEQUENCE compared exactly. Plus crafted edge
+cases (keeper untouched, overlap merging, sub-k docs, whitespace/empty-
+token parity, full-doc duplication)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.oracles import spark_xxhash64, spark_xxhash64_longs
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+_JAVA_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _toks(text: str) -> list[str]:
+    return _JAVA_WS.split(text.strip(" "))
+
+
+def _content_toks(text_or_toks) -> list[str]:
+    """Token sequence minus split's empty-string artifacts ("" from a
+    fully-cut doc or a leading/trailing whitespace run) — the comparison
+    grain for oracle equality."""
+    toks = (_toks(text_or_toks) if isinstance(text_or_toks, str)
+            else text_or_toks)
+    return [t for t in toks if t]
+
+
+def _py_expected(rows: list[tuple[int, str]], k: int):
+    """First-principles replica: window hash = xxhash64 fold of the k
+    token hashes; keeper = min doc id per duplicated hash; a non-keeper
+    doc loses every token covered by a duplicated window."""
+    wins = {}  # wh -> {doc_id}
+    per_doc = {}  # doc_id -> [(pos, wh)]
+    tok_cache = {}
+    for did, text in rows:
+        toks = _toks(text)
+        th = [tok_cache.setdefault(t, spark_xxhash64(t)) for t in toks]
+        lst = []
+        for i in range(len(toks) - k + 1):
+            wh = spark_xxhash64_longs(th[i:i + k])
+            lst.append((i, wh))
+            wins.setdefault(wh, set()).add(did)
+        per_doc[did] = lst
+    dup_keeper = {
+        wh: min(ids) for wh, ids in wins.items() if len(ids) > 1
+    }
+    out = {}
+    for did, text in rows:
+        cut = sorted({
+            pos for pos, wh in per_doc[did]
+            if wh in dup_keeper and dup_keeper[wh] != did
+        })
+        ranges = []
+        for p in cut:
+            if ranges and p <= ranges[-1][1]:
+                ranges[-1][1] = max(ranges[-1][1], p + k)
+            else:
+                ranges.append([p, p + k])
+        removed = {i for s, e in ranges for i in range(s, e)}
+        kept = [t for i, t in enumerate(_toks(text)) if i not in removed]
+        out[did] = (kept, len(ranges), len(removed))
+    return out
+
+
+def _run(spark, rows, k):
+    from docling_api_spark.operators.spandedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = remove_duplicated_spans(df, k=k).collect()
+    return {r["doc_id"]: r for r in got}
+
+
+def test_crafted_corpus_keeper_and_cuts(spark):
+    shared = " ".join(f"boiler{i}" for i in range(12))
+    rows = [
+        (1, f"alpha beta {shared} gamma delta epsilon zeta eta theta"),
+        (2, f"one two three four five {shared} six seven eight nine ten"),
+        (3, "totally unrelated text " + " ".join(f"w{i}" for i in range(20))),
+        (4, f"{shared} leading duplicate here padded out with more words"),
+    ]
+    got = _run(spark, rows, k=10)
+    # doc 1 is the min-id keeper: byte-identical, zero cuts
+    assert got[1]["text"] == rows[0][1]
+    assert got[1]["n_spans_removed"] == 0
+    # docs 2 and 4 lose the shared passage; doc 3 untouched
+    for did, original in ((2, rows[1][1]), (4, rows[3][1])):
+        assert got[did]["n_spans_removed"] == 1
+        assert "boiler0" not in got[did]["text"]
+        # only deletions: output chars are a subsequence of the input
+        it = iter(original)
+        assert all(c in it for c in got[did]["text"])
+    assert got[3]["text"] == rows[2][1]
+    assert got[3]["n_spans_removed"] == 0
+    # surrounding text survives the cut with original separators
+    assert got[2]["text"] == "one two three four five six seven eight nine ten"
+    assert got[4]["text"] == "leading duplicate here padded out with more words"
+
+
+def test_matches_python_oracle_on_real_docs(spark):
+    d = spark.read.parquet(DOCS).limit(40).collect()
+    rows = [(r["doc_id"], r["text"]) for r in d]
+    # inject cross-doc duplication: splice doc0's first 30 tokens into
+    # three other docs at different positions
+    splice = " ".join(_toks(rows[0][1])[:30])
+    rows[5] = (rows[5][0], splice + " " + rows[5][1])
+    rows[9] = (rows[9][0], rows[9][1] + " " + splice)
+    mid = _toks(rows[13][1])
+    rows[13] = (rows[13][0],
+                " ".join(mid[: len(mid) // 2]) + " " + splice + " "
+                + " ".join(mid[len(mid) // 2:]))
+    k = 15
+    expect = _py_expected(rows, k)
+    got = _run(spark, rows, k)
+    assert set(got) == set(expect)
+    for did, (kept, n_spans, n_toks) in expect.items():
+        assert _content_toks(got[did]["text"]) == _content_toks(kept), \
+            f"doc {did} token seq"
+        assert got[did]["n_spans_removed"] == n_spans, f"doc {did} spans"
+        assert got[did]["n_tokens_removed"] == n_toks, f"doc {did} tokens"
+    # the splice really was detected somewhere
+    assert sum(n for _, n, _ in expect.values()) >= 3
+
+
+def test_edge_cases(spark):
+    k = 5
+    dup = "a b c d e f g"
+    rows = [
+        (1, dup),                      # whole doc duplicated — keeper
+        (2, dup),                      # byte-identical copy: fully cut
+        (3, "short doc"),              # < k tokens: no windows
+        (4, "\tx y z " + dup),         # leading tab: empty-token parity
+        (5, "p q r s t u v w"),        # unique content, >= k tokens
+    ]
+    got = _run(spark, rows, k)
+    assert got[1]["text"] == dup and got[1]["n_spans_removed"] == 0
+    assert _toks(got[2]["text"]) in ([""], []) or got[2]["text"].strip() == ""
+    assert got[2]["n_tokens_removed"] == 7
+    assert got[3]["text"] == "short doc"
+    assert "x y z" in got[4]["text"] and "a b c" not in got[4]["text"]
+    assert got[5]["text"] == rows[4][1]
+    # oracle agreement on the same corpus (covers the empty-token path)
+    expect = _py_expected(rows, k)
+    for did in expect:
+        assert (_content_toks(got[did]["text"])
+                == _content_toks(expect[did][0]))
+
+
+def test_overlapping_windows_merge_into_one_span(spark):
+    # 12 shared tokens with k=5 -> 8 overlapping dup windows -> ONE cut
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, f"{shared} tail one two three four"),
+        (2, f"head words here {shared} more tail words again"),
+    ]
+    got = _run(spark, rows, k=5)
+    assert got[1]["n_spans_removed"] == 0
+    assert got[2]["n_spans_removed"] == 1
+    assert got[2]["n_tokens_removed"] == 12
+    assert got[2]["text"] == "head words here more tail words again"
