@@ -80,6 +80,9 @@ def main(argv: list[str] | None = None) -> None:
                         "(default: ctx-len, disjoint)")
     k.add_argument("--quality-floor", type=float, default=0.35)
     k.add_argument("--near-threshold", type=float, default=0.6)
+    k.add_argument("--span-k", type=int, default=None,
+                   help="enable cross-doc duplicated-span removal at "
+                        "k-token granularity (default: off)")
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -136,6 +139,7 @@ def main(argv: list[str] | None = None) -> None:
             text_col=args.text_col,
             quality_floor=args.quality_floor,
             near_threshold=args.near_threshold,
+            span_k=args.span_k,
         )
         annotated.write.mode("overwrite").parquet(
             os.path.join(args.output, "annotated")

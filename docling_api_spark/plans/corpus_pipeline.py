@@ -202,6 +202,9 @@ def corpus_funnel(annotated: DataFrame) -> dict:
             for k in row.asDict()}
 
 
+_BLANK_RE = "^[ \\t\\n\\x0B\\f\\r]*$"  # Java-\\s-only content
+
+
 def build_training_examples(
     spark: SparkSession,
     docs: DataFrame,
@@ -210,6 +213,7 @@ def build_training_examples(
     stride: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    span_k: int | None = None,
     **annotate_kwargs,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The full pipeline: returns (annotated, examples, funnel).
@@ -219,6 +223,17 @@ def build_training_examples(
     windows and the chunks greedily packed into (shard, bin_idx) slots —
     one row per chunk with its bin assignment. Chunk ids are
     ``"<doc_id>#<chunk_idx>"`` (stable, engine-independent).
+
+    ``span_k`` (optional) enables cross-document duplicated-SPAN removal
+    (operators/spandedup.py) over the kept corpus before chunking: any
+    k-token passage shared by >= 2 kept documents survives only in the
+    min-id document — the substring-granularity step doc-level dedup
+    cannot do (Lee et al. 2021). It runs over ALL final_keep docs (not
+    just train) so a passage straddling splits is cut down to one
+    occurrence corpus-wide. Funnel gains ``n_span_docs_cut`` /
+    ``n_spans_cut`` / ``n_span_tokens_cut`` / ``n_span_emptied``; docs
+    cut to whitespace-only are dropped from examples (counted, never
+    silent).
     """
     from docling_api_spark.operators.chunking import chunk_documents
     from docling_api_spark.operators.packing import pack_sequences
@@ -231,6 +246,35 @@ def build_training_examples(
     train = annotated.filter(
         F.col("final_keep") & (F.col("split") == "train")
     ).select(id_col, "extracted_text")
+
+    if span_k:
+        from docling_api_spark.operators.spandedup import (
+            remove_duplicated_spans,
+        )
+
+        kept = annotated.filter("final_keep").select(
+            id_col, "extracted_text"
+        )
+        # materialized once: feeds the span-funnel agg AND the train join
+        cut = remove_duplicated_spans(
+            kept, id_col, "extracted_text", k=span_k
+        ).withColumn(
+            "_blank", F.col("extracted_text").rlike(_BLANK_RE)
+        ).localCheckpoint(eager=True)
+        srow = cut.agg(
+            F.sum((F.col("n_spans_removed") > 0).cast("long"))
+            .alias("n_span_docs_cut"),
+            F.sum("n_spans_removed").alias("n_spans_cut"),
+            F.sum("n_tokens_removed").alias("n_span_tokens_cut"),
+            F.sum(F.col("_blank").cast("long")).alias("n_span_emptied"),
+        ).collect()[0]
+        funnel.update({k: int(srow[k]) if srow[k] is not None else 0
+                       for k in srow.asDict()})
+        train = (
+            train.select(id_col)
+            .join(cut.filter(~F.col("_blank")), id_col)
+            .select(id_col, "extracted_text")
+        )
     chunks = chunk_documents(
         train, ctx_len, stride, id_col=id_col, text_col="extracted_text"
     ).withColumn(

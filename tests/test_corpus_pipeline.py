@@ -134,6 +134,71 @@ def test_funnel_flags_and_examples(spark):
     assert sorted(map(tuple, ex)) == sorted(map(tuple, ex2.collect()))
 
 
+def test_span_dedup_stage(spark):
+    """span_k wiring: docs 3/5/7 get the same 30-token boilerplate tail;
+    they are otherwise distinct (no doc-level dup), so only the span
+    stage can cut it — keeper (min id 3) keeps it, 5 and 7 lose it."""
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    boiler = " ".join(f"boilerplate{i}" for i in range(30))
+    d = spark.read.parquet(DOCS).select("doc_id", "text").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(3, 5, 7),
+            F.concat(F.col("text"), F.lit(" " + boiler)),
+        ).otherwise(F.col("text")),
+    )
+    eval_docs = spark.createDataFrame(
+        [(90001, "nothing contaminates here")], "doc_id long, text string"
+    )
+
+    annotated, examples, funnel = build_training_examples(
+        spark, d, eval_docs, ctx_len=64, quality_floor=0.0, span_k=10
+    )
+    # all three survive the doc-level gates (the premise of the test)
+    kept_flags = {
+        r["doc_id"]: (r["final_keep"], r["split"])
+        for r in annotated.filter(F.col("doc_id").isin(3, 5, 7)).collect()
+    }
+    assert all(keep for keep, _ in kept_flags.values())
+
+    # funnel: the span stage reported its work (the generated corpus
+    # also has NATURAL containments — whole docs embedded in lower-id
+    # docs — which legitimately empty; they must be counted, not silent)
+    assert funnel["n_span_docs_cut"] >= 2
+    assert funnel["n_spans_cut"] >= funnel["n_span_docs_cut"]
+    assert funnel["n_span_tokens_cut"] >= 2 * 30
+
+    # train-split examples: emptied docs excluded (bounded by the funnel
+    # count), the boilerplate survives ONLY in doc 3
+    kept_train = {d for d, (_, s) in kept_flags.items() if s == "train"} | {
+        r["doc_id"]
+        for r in annotated.filter(
+            F.col("final_keep") & (F.col("split") == "train")
+        ).collect()
+    }
+    per_doc: dict[int, str] = {}
+    for r in examples.collect():
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], "") + " " + \
+            r["chunk_text"]
+    assert set(per_doc) <= kept_train
+    assert len(kept_train - set(per_doc)) <= funnel["n_span_emptied"]
+    for did, (_, split) in kept_flags.items():
+        if split != "train":
+            continue
+        assert ("boilerplate0" in per_doc.get(did, "")) == (did == 3), did
+
+    # span_k=None leaves the funnel schema and counts untouched
+    _, _, funnel_off = build_training_examples(
+        spark, d, eval_docs, ctx_len=64, quality_floor=0.0
+    )
+    assert "n_span_docs_cut" not in funnel_off
+    for k in ("n_input", "n_quality", "n_kept", "n_train"):
+        assert funnel_off[k] == funnel[k]
+
+
 def test_gate_that_drops_everything_is_total(spark):
     from docling_api_spark.plans.corpus_pipeline import (
         build_training_examples,
