@@ -10,6 +10,9 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
   dedup-index --input <docs parquet> --index <dir>
           (report new-batch duplicates vs the committed signature index,
            then commit the batch's unseen contents as the next version)
+  report  --input <docs parquet> [--output report.json]
+          (corpus card: counts, exact token percentiles, quality avg,
+           language distribution, duplicate-rate estimate)
   corpus  --input <docs parquet> --eval <eval parquet> --output <dir>
           (full training-corpus build: extract -> quality -> dedup ->
            decontam -> split -> chunk -> pack; writes annotated/ and
@@ -65,6 +68,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="optional parquet dir for the per-pair match report")
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
+    r = sub.add_parser("report")
+    r.add_argument("--input", required=True,
+                   help="parquet of documents to profile")
+    r.add_argument("--output", default=None,
+                   help="optional path for the report JSON file")
+    r.add_argument("--text-col", default="text")
+    r.add_argument("--rsd", type=float, default=0.05,
+                   help="relative error of the distinct-content estimate")
     k = sub.add_parser("corpus")
     k.add_argument("--input", required=True,
                    help="parquet of raw documents (id + payload text)")
@@ -122,6 +133,17 @@ def main(argv: list[str] | None = None) -> None:
             threshold=args.threshold, matches_out=args.matches_out,
         )
         print(json.dumps(summary))
+    elif args.cmd == "report":
+        from docling_api_spark.operators.profile import corpus_report
+
+        report = corpus_report(
+            spark.read.parquet(args.input),
+            text_col=args.text_col, rsd=args.rsd,
+        )
+        if args.output:
+            with open(args.output, "w") as f:
+                json.dump(report, f, sort_keys=True)
+        print(json.dumps(report, sort_keys=True))
     elif args.cmd == "corpus":
         import os
 
