@@ -460,13 +460,26 @@ def _cell_assign_udf(cents: np.ndarray, n_probe: int = 1):
 
 def ivf_cosine_topk(df: DataFrame, queries: DataFrame, dim: int, k: int = 3,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+                    n_centroids: int = 16, n_probe: int = 4,
+                    kmeans_iters: int = 0) -> DataFrame:
     """IVF ANN: corpus vectors live in their single nearest-centroid cell
     (precomputable + partitionable at 100 TB — the scan prunes to probed
     cells); each query probes its ``n_probe`` nearest cells and scores
     only those candidates. Recall < 1 by construction; the exact
-    brute-force path (cosine_topk) is the correctness baseline."""
-    cents = _centroids(df, dim, n_centroids, id_col, vec_col)
+    brute-force path (cosine_topk) is the correctness baseline.
+
+    ``kmeans_iters > 0`` trains the quantizer with the deterministic
+    distributed Lloyd's pass (operators/kmeans.py) instead of the
+    lowest-id seed vectors — better-balanced cells, same recall floor
+    contract."""
+    if kmeans_iters > 0:
+        from docling_api_spark.operators.kmeans import kmeans_centroids
+
+        cents, _ = kmeans_centroids(
+            df, dim, n_centroids, kmeans_iters, id_col, vec_col
+        )
+    else:
+        cents = _centroids(df, dim, n_centroids, id_col, vec_col)
     one = _cell_assign_udf(cents, 1)
     probe = _cell_assign_udf(cents, n_probe)
     corpus = df.select(
