@@ -117,9 +117,12 @@ def _merge_ranges(positions: list[int], k: int) -> list[tuple[int, int]]:
 
 
 def _cut_doc(text: str, positions: list[int], k: int) -> tuple[str, int, int]:
+    if not positions:  # total: the join feeds only cut docs, but be safe
+        return text, 0, 0
     lead = len(text) - len(text.lstrip(" "))
-    trail = len(text) - len(text.rstrip(" "))
-    body = text.strip(" ")
+    rest = text[lead:]  # trail from the remainder: an all-space doc must
+    trail = len(rest) - len(rest.rstrip(" "))  # not double-count its pad
+    body = rest[: len(rest) - trail]
     spans = _token_spans(body)
     ranges = _merge_ranges(positions, k)
     if ranges[-1][1] > len(spans):  # invariant: JVM/Python token parity

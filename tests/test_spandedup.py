@@ -150,6 +150,100 @@ def test_edge_cases(spark):
                 == _content_toks(expect[did][0]))
 
 
+_WS_ALPHABET = " \t\n\x0b\f\rabz."
+
+
+def test_token_spans_parity_fuzz():
+    """The cutter's char-span model must agree with Spark's
+    split(trim(text), '\\s+') token model on ARBITRARY whitespace-laden
+    text — including the leading/trailing empty-token artifacts and
+    all-whitespace bodies. Pure-Python property (no Spark round-trip):
+    span count == token count and each span slices to its token."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docling_api_spark.operators.spandedup import _token_spans
+
+    @settings(max_examples=600, deadline=None)
+    @given(st.text(alphabet=_WS_ALPHABET, max_size=80))
+    def prop(text):
+        body = text.strip(" ")
+        spans = _token_spans(body)
+        toks = _JAVA_WS.split(body)
+        assert len(spans) == len(toks)
+        for (s, e), t in zip(spans, toks):
+            assert body[s:e] == t
+
+    prop()
+
+
+def test_cut_doc_matches_list_reference_fuzz():
+    """_cut_doc against a trivial list-based reference: same surviving
+    token sequence, same counts, and deletion-only output, for random
+    whitespace-heavy docs and random sorted cut positions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docling_api_spark.operators.spandedup import _cut_doc, _token_spans
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet=_WS_ALPHABET, max_size=120),
+           st.integers(1, 4), st.data())
+    def prop(text, k, data):
+        n = len(_token_spans(text.strip(" ")))
+        if n < k:
+            positions = []
+        else:
+            positions = sorted(
+                data.draw(st.sets(st.integers(0, n - k), max_size=8))
+            )
+        got_text, n_ranges, n_toks = _cut_doc(text, positions, k)
+        toks = _JAVA_WS.split(text.strip(" "))
+        removed = set()
+        ranges = []
+        for p in positions:
+            if ranges and p <= ranges[-1][1]:
+                ranges[-1][1] = max(ranges[-1][1], p + k)
+            else:
+                ranges.append([p, p + k])
+        for s, e in ranges:
+            removed.update(range(s, e))
+        kept = [t for i, t in enumerate(toks) if i not in removed and t]
+        assert _content_toks(got_text) == kept
+        assert n_ranges == len(ranges)
+        assert n_toks == len(removed)
+        # deletion-only: output chars are a subsequence of the input
+        it = iter(text)
+        assert all(c in it for c in got_text)
+
+    prop()
+
+
+def test_whitespace_gnarly_corpus_differential(spark):
+    """End-to-end Spark vs the Python oracle on a deterministic corpus
+    saturated with tabs / newlines / vertical tabs / form feeds around
+    an injected shared passage."""
+    base = "\t alpha\nbeta \x0b gamma\f delta "
+    shared = " ".join(f"s{i}" for i in range(9))
+    rows = [
+        (1, base + shared + "\n\n tail one"),
+        (2, "lead\t" + shared + "\x0b trailer two three"),
+        (3, shared.replace(" ", "\t")),      # same tokens, tab-separated
+        (4, " \t\n"),                        # whitespace-only doc
+        (5, "solo doc with nothing shared anywhere at all"),
+    ]
+    k = 6
+    expect = _py_expected(rows, k)
+    got = _run(spark, rows, k)
+    assert set(got) == set(expect)
+    for did, (kept, n_spans, n_toks) in expect.items():
+        assert _content_toks(got[did]["text"]) == _content_toks(kept), did
+        assert got[did]["n_spans_removed"] == n_spans, did
+        assert got[did]["n_tokens_removed"] == n_toks, did
+    # the tab-separated doc 3 shares every window with docs 1/2
+    assert got[3]["n_tokens_removed"] == 9
+
+
 def test_overlapping_windows_merge_into_one_span(spark):
     # 12 shared tokens with k=5 -> 8 overlapping dup windows -> ONE cut
     shared = " ".join(f"s{i}" for i in range(12))
