@@ -24,9 +24,9 @@ difference between N full-corpus passes and one.
                      fits in one hand.
   apply_bpe          distributed: the merge table broadcasts (one copy
                      per executor, not per task) and each document
-                     encodes in an Arrow batch with a per-batch word
-                     memo — word types repeat, so each distinct word
-                     pays the merge walk once per batch.
+                     encodes in an Arrow batch with a bounded per-task
+                     word memo — word types repeat, so each distinct
+                     word pays the merge walk once per task.
 
 Determinism: ties in pair frequency break to the lexicographically
 smallest pair; word-type truncation breaks count ties by word; the
@@ -112,7 +112,15 @@ def learn_bpe(
         }
 
     base = sorted({c for syms in words for sym in syms for c in sym})
-    vocab = base + [a + b for a, b in merges]
+    # dedupe while preserving rank order: two distinct merges can
+    # concatenate to the same string (('a','bc') and ('ab','c') both
+    # yield 'abc') and a duplicated vocab entry would silently shift any
+    # id table built by enumerate()
+    vocab, seen = [], set()
+    for tok in base + [a + b for a, b in merges]:
+        if tok not in seen:
+            seen.add(tok)
+            vocab.append(tok)
     covered = (
         ((2 * 10000 * used_mass + mass) // (2 * mass)) / 10000
         if mass else 0.0
@@ -156,10 +164,13 @@ def apply_bpe(
     """
     import re
 
+    from docling_api_spark.operators.similarity import register_broadcast
+
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(
         {tuple(m): i for i, m in enumerate(merges)}
     )
+    register_broadcast(bc)  # evict stale copies in long-lived sessions
     pat = re.compile(BPE_PATTERN)
     out_schema = (
         df.select(id_col).schema[id_col].simpleString().split(":")[1]
@@ -168,8 +179,13 @@ def apply_bpe(
 
     def encoder(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ranks = bc.value
+        # per-TASK memo (word types repeat heavily across batches),
+        # bounded so a pathological tail of unique "words" (hashes,
+        # base64 blobs) cannot grow it past executor heap
         memo: dict[str, list[str]] = {}
         for batch in batches:
+            if len(memo) > 1_000_000:
+                memo.clear()
             ids = batch.column(id_col)
             texts = batch.column(text_col).to_pylist()
             toks_out, n_out = [], []

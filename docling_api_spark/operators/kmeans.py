@@ -48,6 +48,22 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     )
 
 
+def _assign_cells(unit: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """Nearest-centroid argmax with SHAPE-INDEPENDENT float arithmetic:
+    per-centroid strict left-to-right cumsum dots (the _seq_dot fold)
+    instead of a BLAS matmul, whose kernel/accumulation order varies
+    with the batch's row count — a near-tie vector could flip cells
+    between a 1-row tail batch and a 100-row batch, breaking the
+    bit-identical-at-any-parallelism claim the exact long sums exist
+    for. Ties break to the lowest cell id (np.argmax)."""
+    from docling_api_spark.operators.similarity import _seq_dot
+
+    sims = np.empty((unit.shape[0], cn.shape[0]), dtype=np.float64)
+    for j in range(cn.shape[0]):
+        sims[:, j] = _seq_dot(unit, np.broadcast_to(cn[j], unit.shape))
+    return np.argmax(sims, axis=1).astype(np.int32)
+
+
 def _batch_mat(batch: pa.RecordBatch, vec_col: str) -> np.ndarray:
     return np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
 
@@ -79,7 +95,7 @@ def kmeans_centroids(
                 if batch.num_rows == 0:
                     continue
                 unit = _unit_rows(_batch_mat(batch, vec_col))
-                cell = np.argmax(unit @ cn.T, axis=1).astype(np.int32)
+                cell = _assign_cells(unit, cn)
                 sv = np.round(unit * SCALE).astype(np.int64)
                 yield pa.RecordBatch.from_arrays(
                     [pa.array(cell, pa.int32()),
@@ -95,6 +111,9 @@ def kmeans_centroids(
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        # this iteration's broadcast is dead once the collect returns —
+        # a long-lived session must not accumulate iters x calls copies
+        bc.unpersist(blocking=False)
         sums = np.zeros((k, dim), dtype=np.int64)
         counts = np.zeros(k, dtype=np.int64)
         for r in rows:
@@ -127,8 +146,13 @@ def assign_clusters(
 ) -> DataFrame:
     """(id_col, cluster) — nearest-centroid (cosine) per vector, one
     shuffle-free pass; argmax breaks ties to the lowest cell id."""
+    from docling_api_spark.operators.similarity import register_broadcast
+
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(_unit_rows(cents))
+    # lazily consumed by the returned frame: session-lifetime hygiene
+    # via the shared registry (keeps the immediately-prior one alive)
+    register_broadcast(bc)
     id_type = df.select(id_col).schema[id_col].simpleString().split(":")[1]
 
     def stage(batches: Iterator[pa.RecordBatch],
@@ -138,7 +162,7 @@ def assign_clusters(
             if batch.num_rows == 0:
                 continue
             unit = _unit_rows(_batch_mat(batch, vec_col))
-            cell = np.argmax(unit @ cn.T, axis=1).astype(np.int32)
+            cell = _assign_cells(unit, cn)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(id_col), pa.array(cell, pa.int32())],
                 [id_col, "cluster"],

@@ -49,10 +49,13 @@ def corpus_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         with_token_stats,
     )
 
+    # NULL text profiles as the empty document (deterministic, total) —
+    # a raw crawl table always has some; the report must not crash on it
+    base = df.select(
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
     p = with_lang_id(
-        with_quality_score(
-            with_token_stats(df.select(text_col), text_col), text_col
-        ),
+        with_quality_score(with_token_stats(base, text_col), text_col),
         text_col,
     )
     return p.select(

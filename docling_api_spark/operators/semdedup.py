@@ -30,10 +30,8 @@ Plan shape / scale:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def semantic_near_duplicates(
@@ -51,7 +49,7 @@ def semantic_near_duplicates(
     from docling_api_spark.operators.kmeans import (
         assign_clusters, kmeans_centroids,
     )
-    from docling_api_spark.operators.similarity import _cosine_batch
+    from docling_api_spark.operators.similarity import verify_candidate_pairs
 
     cents, _ = kmeans_centroids(
         df, dim, n_cells, kmeans_iters, id_col, vec_col
@@ -64,28 +62,7 @@ def semantic_near_duplicates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = cand.join(va, "id_a").join(vb, "id_b")
-    out_schema = T.StructType([
-        pairs.schema["id_a"],
-        pairs.schema["id_b"],
-        T.StructField("cosine", T.DoubleType()),
-    ])
-
-    def verify(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            cos = _cosine_batch(pdf["va"], pdf["vb"])
-            keep = cos >= threshold
-            yield pd.DataFrame({
-                "id_a": pdf["id_a"][keep],
-                "id_b": pdf["id_b"][keep],
-                "cosine": cos[keep],
-            })
-
-    return pairs.mapInPandas(verify, out_schema)
+    return verify_candidate_pairs(cand, df, threshold, id_col, vec_col)
 
 
 def semdedup_keep(

@@ -113,8 +113,24 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 3,
     )
 
 
-_BC_REGISTRY: list = []  # broadcasts from prior exact_cosine_pairs calls
+_BC_REGISTRY: list = []  # corpus-sized broadcasts from prior calls
 _BC_LOCK = threading.Lock()
+
+
+def register_broadcast(bc) -> None:
+    """Session-lifetime hygiene for corpus/model broadcasts (shared by
+    the exact-pairs baseline, k-means assignment, and the BPE encoder):
+    keep the IMMEDIATELY-prior broadcast alive — its result DataFrame
+    may still be lazily pending in an interleaved caller — and evict
+    older ones. unpersist (NOT destroy) is safe for still-referenced
+    plans: the value stays on the driver and re-ships on demand."""
+    with _BC_LOCK:
+        while len(_BC_REGISTRY) > 1:
+            try:
+                _BC_REGISTRY.pop(0).unpersist(blocking=False)
+            except Exception:
+                pass  # broadcast from a stopped SparkContext
+        _BC_REGISTRY.append(bc)
 
 
 def exact_cosine_pairs(emb: DataFrame, threshold: float,
@@ -177,13 +193,7 @@ def exact_cosine_pairs(emb: DataFrame, threshold: float,
     # in an interleaved caller — and evict only older ones, under a lock
     # (concurrent driver threads may share this module global).
     bc = spark.sparkContext.broadcast((ids, mat))
-    with _BC_LOCK:
-        while len(_BC_REGISTRY) > 1:
-            try:
-                _BC_REGISTRY.pop(0).unpersist(blocking=False)
-            except Exception:
-                pass  # broadcast from a stopped SparkContext
-        _BC_REGISTRY.append(bc)
+    register_broadcast(bc)
 
     # Build the pair-generation id frame FROM THE DRIVER SNAPSHOT, not by
     # re-selecting from `emb`: a second distributed scan would (a)
@@ -400,14 +410,24 @@ def embedding_near_duplicates(df: DataFrame, dim: int, threshold: float = 0.95,
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    return verify_candidate_pairs(cand, df, threshold, id_col, vec_col)
+
+
+def verify_candidate_pairs(cand: DataFrame, df: DataFrame,
+                           threshold: float, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact-cosine verification of an (id_a, id_b) candidate frame —
+    the ONE definition shared by every candidate generator (LSH buckets,
+    SemDeDup k-means cells): vectors join back once per candidate SIDE
+    (candidates carry only ids through their generator), and score +
+    threshold fuse in a single mapInPandas stage — a plain
+    `select(udf).filter(col)` evaluates the scalar UDF twice (Spark
+    extracts one ArrowEvalPython for the pushed filter and another for
+    the projection), doubling the Arrow transfer of the vector pairs.
+    Fusing also means only the surviving pairs ever leave Python."""
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")
-    # Score + threshold fused in ONE mapInPandas stage: a plain
-    # `select(udf).filter(col)` evaluates the scalar UDF twice (Spark
-    # extracts one ArrowEvalPython for the pushed filter and another for
-    # the projection), doubling the Arrow transfer of the vector pairs.
-    # Fusing also means only the surviving pairs ever leave Python.
     out_schema = T.StructType([
         pairs.schema["id_a"],
         pairs.schema["id_b"],

@@ -156,11 +156,8 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     ORIGINAL cross-doc duplicated window is gone from non-keeper docs.
     """
     wins = window_hashes(df, id_col, text_col, k)
-    dups = (
-        wins.groupBy("wh")
-        .agg(F.min(id_col).alias("_keeper"), F.max(id_col).alias("_maxid"))
-        .filter(F.col("_keeper") != F.col("_maxid"))
-        .select("wh", "_keeper")
+    dups = duplicated_spans(df, id_col, text_col, k).select(
+        "wh", F.col("keeper_id").alias("_keeper")
     )
     cuts = (
         wins.join(dups, "wh")
@@ -170,14 +167,16 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     )
     to_cut = df.select(id_col, text_col).join(cuts, id_col)
 
+    # id column passes through the Arrow batch untouched, so any id type
+    # (long, int, string) works — the schema is derived, not hardcoded
+    id_type = df.select(id_col).schema[id_col].simpleString().split(":")[1]
     out_schema = (
-        f"{id_col} long, {text_col} string, "
+        f"{id_col} {id_type}, {text_col} string, "
         "n_spans_removed int, n_tokens_removed int"
     )
 
     def cutter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column(id_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
             poss = batch.column("_cut_pos").to_pylist()
             texts_out, n_spans, n_toks = [], [], []
@@ -188,7 +187,7 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
                 n_toks.append(nt)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(ids, pa.int64()),
+                    batch.column(id_col),
                     pa.array(texts_out, pa.string()),
                     pa.array(n_spans, pa.int32()),
                     pa.array(n_toks, pa.int32()),
@@ -201,7 +200,7 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
         df.select(id_col, text_col)
         .join(cuts.select(id_col), id_col, "left_anti")
         .select(
-            F.col(id_col).cast("long"),
+            F.col(id_col),
             F.col(text_col),
             F.lit(0).alias("n_spans_removed"),
             F.lit(0).alias("n_tokens_removed"),

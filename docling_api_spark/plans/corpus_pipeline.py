@@ -259,7 +259,11 @@ def build_training_examples(
         cut = remove_duplicated_spans(
             kept, id_col, "extracted_text", k=span_k
         ).withColumn(
-            "_blank", F.col("extracted_text").rlike(_BLANK_RE)
+            # emptied BY THE SPAN STAGE only: a doc that was already
+            # whitespace-only (and uncut) keeps its span_k-off behavior
+            "_blank",
+            F.col("extracted_text").rlike(_BLANK_RE)
+            & (F.col("n_spans_removed") > 0),
         ).localCheckpoint(eager=True)
         srow = cut.agg(
             F.sum((F.col("n_spans_removed") > 0).cast("long"))

@@ -19,13 +19,26 @@ def _unit(m):
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _ref_sims(u: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """The assignment similarity spec: per-centroid strict left-to-right
+    cumsum dot (shape-independent — BLAS matmul kernel choice varies
+    with batch height, which could flip a near-tie argmax between
+    partitionings)."""
+    sims = np.empty((u.shape[0], cents.shape[0]), dtype=np.float64)
+    for j in range(cents.shape[0]):
+        prod = u * cents[j]
+        prod[:, 0] = 0.0 + prod[:, 0]
+        sims[:, j] = np.cumsum(prod, axis=1)[:, -1]
+    return sims
+
+
 def _ref_kmeans(mat: np.ndarray, k: int, iters: int) -> np.ndarray:
     """Replica: mat rows sorted by id; init = first k rows."""
     cents = _unit(mat[:k].copy())
     k = cents.shape[0]
     for _ in range(iters):
         u = _unit(mat)
-        cell = np.argmax(u @ cents.T, axis=1)
+        cell = np.argmax(_ref_sims(u, cents), axis=1)
         sv = np.round(u * SCALE).astype(np.int64)
         counts = np.bincount(cell, minlength=k)
         sums = np.zeros((k, mat.shape[1]), dtype=np.int64)

@@ -126,3 +126,14 @@ def test_report_crafted_and_empty(spark):
     )
     assert empty["n_docs"] == 0 and empty["tokens_p50"] == 0
     assert empty["lang_dist"] == {} and empty["dup_rate_est"] == 0.0
+
+    # NULL text profiles as the empty document — never a crash
+    withnull = corpus_report(
+        spark.createDataFrame(
+            [("the cat sat on a mat",), (None,)], "text string"
+        ),
+        percentiles=(50,),
+    )
+    assert withnull["n_docs"] == 2
+    assert withnull["tokens_min"] == 1  # split("") == [""] -> 1 token
+    assert withnull["n_chars_total"] == 20

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tests.test_kmeans import _ref_kmeans, _unit
+from tests.test_kmeans import _ref_kmeans, _ref_sims, _unit
 
 EMB = "/root/testdata/sf0.001/embeddings.parquet"
 DIM, K, ITERS, THRESH = 64, 16, 5, 0.8
@@ -30,7 +30,7 @@ def _corpus(spark):
 def _ref_pairs(ids, mat):
     cents = _ref_kmeans(mat, K, ITERS)
     u = _unit(mat)
-    cell = np.argmax(u @ cents.T, axis=1)
+    cell = np.argmax(_ref_sims(u, cents), axis=1)
     norms = np.linalg.norm(mat, axis=1)
     pairs = {}
     for c in np.unique(cell):

@@ -244,6 +244,28 @@ def test_whitespace_gnarly_corpus_differential(spark):
     assert got[3]["n_tokens_removed"] == 9
 
 
+def test_string_ids_pass_through(spark):
+    """id_col is generic: the id column passes through the Arrow batch
+    untouched, so string ids must work on both the cut and untouched
+    branches (min-id keeper = lexicographic min for strings)."""
+    from docling_api_spark.operators.spandedup import remove_duplicated_spans
+
+    shared = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        ("doc-a", f"{shared} unique tail here"),
+        ("doc-b", f"other head words {shared}"),
+        ("doc-c", "entirely unrelated content of some length"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in
+           remove_duplicated_spans(df, k=5).collect()}
+    assert got["doc-a"]["text"] == rows[0][1]  # keeper: lexicographic min
+    assert got["doc-b"]["n_spans_removed"] == 1
+    assert "b0" not in got["doc-b"]["text"]
+    assert got["doc-c"]["text"] == rows[2][1]
+    assert got["doc-c"]["n_spans_removed"] == 0
+
+
 def test_overlapping_windows_merge_into_one_span(spark):
     # 12 shared tokens with k=5 -> 8 overlapping dup windows -> ONE cut
     shared = " ".join(f"s{i}" for i in range(12))
