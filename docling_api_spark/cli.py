@@ -15,8 +15,10 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
            language distribution, duplicate-rate estimate)
   corpus  --input <docs parquet> --eval <eval parquet> --output <dir>
           (full training-corpus build: extract -> quality -> dedup ->
-           decontam -> split -> chunk -> pack; writes annotated/ and
-           examples/ parquet plus funnel.json, prints the funnel)
+           [--index: drop docs duplicating a previous crawl] ->
+           decontam -> split -> [--span-k: cut duplicated spans] ->
+           chunk -> pack; writes annotated/ and examples/ parquet plus
+           funnel.json, prints the funnel)
 
 Benchmarks live in bench.py at the repo root (not a subcommand here).
 """
@@ -94,6 +96,11 @@ def main(argv: list[str] | None = None) -> None:
     k.add_argument("--span-k", type=int, default=None,
                    help="enable cross-doc duplicated-span removal at "
                         "k-token granularity (default: off)")
+    k.add_argument("--index", default=None,
+                   help="committed dedup-index dir: drop docs that "
+                        "duplicate a PREVIOUS crawl (raw-text grain, "
+                        "same index `dedup-index` commits)")
+    k.add_argument("--index-threshold", type=float, default=0.6)
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -151,6 +158,16 @@ def main(argv: list[str] | None = None) -> None:
             build_training_examples,
         )
 
+        snapshot_index = None
+        if args.index is not None:
+            from docling_api_spark.plans.dedup_index import load_index
+
+            snapshot_index, state = load_index(spark, args.index)
+            if snapshot_index is None:
+                raise SystemExit(
+                    f"--index {args.index}: no committed index version "
+                    "(run `dedup-index` first)"
+                )
         annotated, examples, funnel = build_training_examples(
             spark,
             spark.read.parquet(args.input),
@@ -162,6 +179,8 @@ def main(argv: list[str] | None = None) -> None:
             quality_floor=args.quality_floor,
             near_threshold=args.near_threshold,
             span_k=args.span_k,
+            snapshot_index=snapshot_index,
+            snapshot_threshold=args.index_threshold,
         )
         annotated.write.mode("overwrite").parquet(
             os.path.join(args.output, "annotated")

@@ -49,17 +49,28 @@ def annotate_corpus(
     decontam_n: int = 8,
     splits=DEFAULT_SPLITS,
     split_salt: str = "split",
+    snapshot_index: DataFrame | None = None,
+    snapshot_threshold: float = 0.6,
 ) -> DataFrame:
     """One row per input document carrying every stage's verdict:
 
     (id_col, status, extracted_text, n_extracted_tokens, quality_score,
      ok_extract, ok_quality, exact_keeper, is_exact_dup, cluster_id,
-     is_near_dup, contaminated, split, final_keep)
+     is_near_dup, snapshot_dup, contaminated, split, final_keep)
 
     ``final_keep`` is the conjunction of the funnel gates; ``split`` is
     assigned for every extraction-passing document (so eval-set sizing
     is stable under upstream gate tuning), but only ``final_keep`` rows
     are training-corpus members.
+
+    ``snapshot_index`` (optional) is a committed cross-snapshot
+    signature index (plans/dedup_index.py, same grain as `cli
+    dedup-index`: RAW ``text_col`` shas + minhash) — docs duplicating a
+    PREVIOUS crawl are flagged ``snapshot_dup`` and dropped, so
+    re-crawled content never trains twice. The check runs over this
+    batch's dedup keepers only (strict funnel) and decontamination runs
+    only over snapshot survivors, keeping every drop flag DISJOINT (the
+    funnel arithmetic depends on it).
     """
     from docling_api_spark.operators.decontam import ngram_decontaminate
     from docling_api_spark.operators.dedup import minhash_near_duplicates
@@ -126,7 +137,10 @@ def annotate_corpus(
         id_col, "cluster_id"
     )
 
-    # D) decontamination over dedup keepers only
+    # D) cross-snapshot dedup over this batch's dedup keepers only: the
+    # committed corpus text is never read (compact sha+minhash index);
+    # raw text re-joins from the input because the index grain is the
+    # pre-extraction payload (what `cli dedup-index` commits)
     dedup_keepers = (
         surv.join(exact, id_col)
         .filter(F.col(id_col) == F.col("exact_keeper"))
@@ -137,8 +151,33 @@ def annotate_corpus(
         )
         .select(id_col, "extracted_text")
     )
+    if snapshot_index is not None:
+        from docling_api_spark.operators.dedup import (
+            incremental_near_duplicates,
+        )
+
+        keeper_raw = docs.select(id_col, text_col).join(
+            dedup_keepers.select(id_col), id_col
+        )
+        snap = (
+            incremental_near_duplicates(
+                keeper_raw, snapshot_index, id_col, text_col,
+                snapshot_threshold,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+            .withColumn("snapshot_dup", F.lit(True))
+        )
+    else:
+        snap = None
+
+    # E) decontamination over snapshot survivors only
+    fresh_keepers = (
+        dedup_keepers if snap is None
+        else dedup_keepers.join(snap.select(id_col), id_col, "left_anti")
+    )
     contaminated = ngram_decontaminate(
-        dedup_keepers,
+        fresh_keepers,
         eval_docs.select(
             F.col(id_col), F.col(text_col).alias("extracted_text")
         ),
@@ -147,11 +186,17 @@ def annotate_corpus(
         decontam_n,
     ).select(id_col, F.lit(True).alias("contaminated"))
 
-    annotated = (
+    joined = (
         base.join(exact, id_col, "left")
         .join(clusters, id_col, "left")
         .join(contaminated, id_col, "left")
-        .select(
+    )
+    if snap is not None:
+        joined = joined.join(snap, id_col, "left")
+    else:
+        joined = joined.withColumn("snapshot_dup", F.lit(None).cast("boolean"))
+    annotated = (
+        joined.select(
             base["*"],
             "exact_keeper",
             F.coalesce(
@@ -163,6 +208,7 @@ def annotate_corpus(
                 & (F.col("exact_keeper") == F.col(id_col)),
                 F.lit(False),
             ).alias("is_near_dup"),
+            F.coalesce("snapshot_dup", F.lit(False)).alias("snapshot_dup"),
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
         .withColumn(
@@ -170,6 +216,7 @@ def annotate_corpus(
             F.col("ok_quality")
             & ~F.col("is_exact_dup")
             & ~F.col("is_near_dup")
+            & ~F.col("snapshot_dup")
             & ~F.col("contaminated"),
         )
         .drop("_sha")  # internal scratch, not part of the verdict schema
@@ -185,6 +232,7 @@ def corpus_funnel(annotated: DataFrame) -> dict:
         F.sum(F.col("ok_quality").cast("long")).alias("n_quality"),
         F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dropped"),
         F.sum(F.col("is_near_dup").cast("long")).alias("n_near_dropped"),
+        F.sum(F.col("snapshot_dup").cast("long")).alias("n_snapshot_dropped"),
         F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
         F.sum(F.col("final_keep").cast("long")).alias("n_kept"),
         F.sum(

@@ -53,8 +53,10 @@ def test_funnel_flags_and_examples(spark):
         funnel["n_quality"]
         - funnel["n_exact_dropped"]
         - funnel["n_near_dropped"]
+        - funnel["n_snapshot_dropped"]
         - funnel["n_contaminated"]
     )
+    assert funnel["n_snapshot_dropped"] == 0  # no index passed
     assert funnel["n_kept"] == (
         funnel["n_train"] + funnel["n_val"] + funnel["n_test"]
     )
@@ -132,6 +134,65 @@ def test_funnel_flags_and_examples(spark):
     )
     assert funnel2 == funnel
     assert sorted(map(tuple, ex)) == sorted(map(tuple, ex2.collect()))
+
+
+def test_snapshot_index_gate(spark):
+    """--index wiring: a doc byte-identical to a PREVIOUS crawl (exact
+    sha in the committed signature index) and a doc near-duplicating one
+    are flagged snapshot_dup and dropped; a doc that is BOTH a snapshot
+    dup and an eval leak is flagged snapshot_dup ONLY (flags stay
+    disjoint — the funnel arithmetic depends on it)."""
+    from docling_api_spark.operators.dedup import signature_index
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    docs, eval_docs = _corpus(spark)
+    leak = eval_docs.collect()[0]["text"]
+    old1 = docs.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    old2 = docs.filter(F.col("doc_id") == 8).collect()[0]["text"]
+    # previous crawl: doc 7's exact payload, a near-variant of doc 8's,
+    # and the eval-leak text (so doc 10003 is snapshot dup AND leak)
+    prev = spark.createDataFrame(
+        [
+            (90101, old1),
+            (90102, old2 + " trailing variant"),
+            (90103, leak),
+        ],
+        "doc_id long, text string",
+    )
+    index = signature_index(prev).localCheckpoint(eager=True)
+
+    annotated, examples, funnel = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, quality_floor=0.0,
+        near_threshold=0.25, snapshot_index=index,
+        snapshot_threshold=0.35,
+    )
+    by_id = {r["doc_id"]: r for r in annotated.filter(
+        F.col("doc_id").isin(7, 8, 10003)
+    ).collect()}
+    assert by_id[7]["snapshot_dup"] and not by_id[7]["final_keep"]
+    assert by_id[8]["snapshot_dup"] and not by_id[8]["final_keep"]
+    # disjointness: the eval-leak doc is snapshot-flagged, NOT contam
+    assert by_id[10003]["snapshot_dup"]
+    assert not by_id[10003]["contaminated"]
+    assert funnel["n_snapshot_dropped"] >= 3
+    assert funnel["n_kept"] == (
+        funnel["n_quality"]
+        - funnel["n_exact_dropped"]
+        - funnel["n_near_dropped"]
+        - funnel["n_snapshot_dropped"]
+        - funnel["n_contaminated"]
+    )
+    # no flag overlap anywhere
+    assert annotated.filter(
+        F.col("snapshot_dup")
+        & (F.col("is_exact_dup") | F.col("is_near_dup")
+           | F.col("contaminated"))
+    ).count() == 0
+    # dropped docs never reach examples
+    ex_ids = {r["doc_id"] for r in examples.collect()}
+    assert not {7, 8, 10003} & ex_ids
 
 
 def test_span_dedup_stage(spark):
