@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--text-col", default="text")
     r.add_argument("--rsd", type=float, default=0.05,
                    help="relative error of the distinct-content estimate")
+    r.add_argument("--top-spans", type=int, default=0,
+                   help="also report the N most-duplicated k-token "
+                        "windows with exemplar snippets (default: off)")
+    r.add_argument("--span-k", type=int, default=20,
+                   help="window size for --top-spans")
+    r.add_argument("--id-col", default="doc_id")
     k = sub.add_parser("corpus")
     k.add_argument("--input", required=True,
                    help="parquet of raw documents (id + payload text)")
@@ -143,10 +149,18 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "report":
         from docling_api_spark.operators.profile import corpus_report
 
-        report = corpus_report(
-            spark.read.parquet(args.input),
-            text_col=args.text_col, rsd=args.rsd,
-        )
+        docs = spark.read.parquet(args.input)
+        report = corpus_report(docs, text_col=args.text_col, rsd=args.rsd)
+        if args.top_spans > 0:
+            from docling_api_spark.operators.spandedup import frequent_spans
+
+            report["top_spans"] = [
+                r.asDict()
+                for r in frequent_spans(
+                    docs, args.id_col, args.text_col,
+                    k=args.span_k, top_n=args.top_spans,
+                ).collect()
+            ]
         if args.output:
             with open(args.output, "w") as f:
                 json.dump(report, f, sort_keys=True)

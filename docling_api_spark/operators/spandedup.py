@@ -93,6 +93,63 @@ def duplicated_spans(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def frequent_spans(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = SPAN_TOKENS,
+                   top_n: int = 20) -> DataFrame:
+    """Boilerplate discovery: the ``top_n`` most-duplicated k-token
+    windows across the corpus, with a human-readable exemplar snippet —
+    the report a pipeline operator reads BEFORE choosing span-dedup /
+    quality thresholds ("what IS the boilerplate in this crawl?").
+
+    Output (one row per window hash, most frequent first):
+    (wh, n_docs, n_occurrences, example_id, snippet).
+
+    Scale shape: two map-side-combined aggregations over the window
+    stream — (wh, id) then (wh) — so a window shared by 10^6 docs
+    collapses before either shuffle; only the top_n winners (driver-
+    bounded) have their exemplar text fetched, via an id-pushdown scan
+    of at most top_n documents."""
+    spark = df.sparkSession
+    wins = window_hashes(df, id_col, text_col, k)
+    per_doc = wins.groupBy("wh", id_col).agg(
+        F.count(F.lit(1)).alias("_c"), F.min("pos").alias("_p")
+    )
+    top = (
+        per_doc.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").alias("n_occurrences"),
+            F.min(F.struct(F.col(id_col), F.col("_p"))).alias("_ex"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("wh"))
+        .limit(top_n)
+        .collect()
+    )
+    out_schema = (
+        "wh long, n_docs long, n_occurrences long, "
+        f"example_id {df.select(id_col).schema[id_col].simpleString().split(':')[1]}, "
+        "snippet string"
+    )
+    if not top:
+        return spark.createDataFrame([], out_schema)
+    ex_ids = [r["_ex"][0] for r in top]
+    texts = {
+        r[id_col]: r[text_col]
+        for r in df.filter(F.col(id_col).isin(ex_ids))
+        .select(id_col, text_col).collect()
+    }
+    rows = []
+    for r in top:
+        ex_id, pos = r["_ex"][0], r["_ex"][1]
+        body = texts[ex_id].strip(" ")
+        spans = _token_spans(body)
+        snippet = body[spans[pos][0]: spans[pos + k - 1][1]]
+        rows.append((r["wh"], r["n_docs"], r["n_occurrences"], ex_id,
+                     snippet))
+    return spark.createDataFrame(rows, out_schema)
+
+
 def _token_spans(body: str) -> list[tuple[int, int]]:
     """Char spans of Spark's split(trim(text), '\\s+') tokens within the
     space-trimmed body, INCLUDING the leading/trailing empty-string

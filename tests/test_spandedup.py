@@ -244,6 +244,56 @@ def test_whitespace_gnarly_corpus_differential(spark):
     assert got[3]["n_tokens_removed"] == 9
 
 
+def test_frequent_spans_discovery(spark):
+    """Boilerplate discovery vs a first-principles count: the injected
+    footer (3 docs, 4 occurrences) must outrank the 2-doc passage; the
+    exemplar snippet is the min-(id, pos) occurrence's exact chars;
+    windows in one doc only never appear; clean corpus -> empty."""
+    from docling_api_spark.operators.spandedup import frequent_spans
+
+    footer = " ".join(f"f{i}" for i in range(5))
+    other = " ".join(f"o{i}" for i in range(5))
+    rows = [
+        (1, f"{footer} start text here {footer}"),   # footer twice
+        (2, f"body words then {footer} end"),
+        (3, f"{other} and the {footer} again"),
+        (4, f"prefix {other} suffix padding words"),
+        (5, "unique content without any shared window present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = frequent_spans(df, k=5, top_n=10).collect()
+
+    # python oracle: count every 5-token window across docs
+    from collections import defaultdict
+    occ = defaultdict(int)
+    docs_of = defaultdict(set)
+    first = {}
+    for did, text in rows:
+        toks = _JAVA_WS.split(text.strip(" "))
+        for p in range(len(toks) - 4):
+            w = tuple(toks[p:p + 5])
+            occ[w] += 1
+            docs_of[w].add(did)
+            first.setdefault(w, (did, p))
+    dup = {w: (len(docs_of[w]), occ[w]) for w in occ if len(docs_of[w]) > 1}
+    assert len(got) == len(dup)
+    # ranking: footer window (3 docs, 4 occurrences) first
+    assert got[0]["n_docs"] == 3 and got[0]["n_occurrences"] == 4
+    assert got[0]["snippet"] == footer
+    assert got[0]["example_id"] == 1
+    by_snip = {tuple(_JAVA_WS.split(r["snippet"])): r for r in got}
+    for w, (nd, no) in dup.items():
+        r = by_snip[w]
+        assert (r["n_docs"], r["n_occurrences"]) == (nd, no), w
+        assert (r["example_id"],) == (first[w][0],), w
+
+    clean = spark.createDataFrame(
+        [(1, "nothing duplicated in this tiny corpus")],
+        "doc_id long, text string",
+    )
+    assert frequent_spans(clean, k=3, top_n=5).count() == 0
+
+
 def test_string_ids_pass_through(spark):
     """id_col is generic: the id column passes through the Arrow batch
     untouched, so string ids must work on both the cut and untouched
