@@ -153,6 +153,23 @@ def _build_profile(spark, sf_dir):
     )
 
 
+def _build_nb_score(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.classifier import nb_score, nb_train
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seed = d.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 2 == 0, "good").otherwise("junk")
+        .alias("label"),
+    )
+    weights, meta = nb_train(seed, positive="good", n_buckets=1 << 12)
+    return nb_score(d, weights, meta)
+
+
 # pytest-only operators (registry held at 50): audited by building the
 # DataFrame directly instead of through entry.queries()
 EXTRA_CHECKS = {
@@ -172,6 +189,16 @@ EXTRA_CHECKS = {
         "must_not": ["Exchange"],
         "note": "corpus-wide BPE encoding is scan -> MapInArrow with the "
                 "merge table broadcast: no shuffle anywhere in the job",
+    },
+    "classifier_nb_score": {
+        "build": _build_nb_score,
+        "must": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+        "note": "the hashed-feature weight table (bounded by n_buckets) "
+                "BROADCASTS into the corpus token stream: scan -> hash -> "
+                "explode -> broadcast left join -> partial agg -> ONE "
+                "exchange on doc_id; the seed-corpus training subtree is "
+                "small by construction",
     },
     "corpus_profile": {
         "build": _build_profile,
