@@ -153,6 +153,17 @@ def _build_profile(spark, sf_dir):
     )
 
 
+def _build_domain_policy(spark, sf_dir):
+    from docling_api_spark.operators.domains import (
+        apply_domain_policy, domain_policy, domain_stats)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    pol = domain_policy(domain_stats(d), min_docs=2, max_dup_rate=0.5)
+    return apply_domain_policy(d, pol)
+
+
 def _build_lm_score(spark, sf_dir):
     from docling_api_spark.operators.lm import score_lm, train_lm
 
@@ -218,6 +229,15 @@ EXTRA_CHECKS = {
                 "the reference corpus / hashed vocab) BROADCAST into the "
                 "corpus bigram stream — the KenLM ship-the-model posture; "
                 "ONE exchange on doc_id for the per-document sums",
+    },
+    "domain_policy_apply": {
+        "build": _build_domain_policy,
+        "must": ["BroadcastHashJoin", "HashAggregate", "sha2"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+        "note": "domain stats are ONE partial-agg groupBy on the domain "
+                "key (text dedups via 32-byte sha2 inside the agg, never "
+                "shuffles); the per-domain verdict table (#domains rows) "
+                "BROADCASTS back onto the corpus",
     },
     "corpus_profile": {
         "build": _build_profile,
