@@ -14,7 +14,10 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
           (corpus card: counts, exact token percentiles, quality avg,
            language distribution, duplicate-rate estimate)
   corpus  --input <docs parquet> --eval <eval parquet> --output <dir>
-          (full training-corpus build: extract -> quality -> dedup ->
+          (full training-corpus build: extract -> quality ->
+           [--domain-col: per-source policy gate, with --blocklist /
+           --domain-min-docs / --domain-max-dup-rate /
+           --domain-min-quality] -> dedup ->
            [--index: drop docs duplicating a previous crawl] ->
            decontam -> split -> [--span-k: cut duplicated spans] ->
            chunk -> pack; writes annotated/ and examples/ parquet plus
@@ -107,6 +110,16 @@ def main(argv: list[str] | None = None) -> None:
                         "duplicate a PREVIOUS crawl (raw-text grain, "
                         "same index `dedup-index` commits)")
     k.add_argument("--index-threshold", type=float, default=0.6)
+    k.add_argument("--domain-col", default=None,
+                   help="enable the domain-policy stage over this "
+                        "column (e.g. source): per-domain stats over "
+                        "quality survivors, verdict gates before dedup")
+    k.add_argument("--blocklist", default=None,
+                   help="text file of blocklisted domains, one per line "
+                        "(requires --domain-col)")
+    k.add_argument("--domain-min-docs", type=int, default=1)
+    k.add_argument("--domain-max-dup-rate", type=float, default=None)
+    k.add_argument("--domain-min-quality", type=float, default=None)
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -182,6 +195,13 @@ def main(argv: list[str] | None = None) -> None:
                     f"--index {args.index}: no committed index version "
                     "(run `dedup-index` first)"
                 )
+        blocklist = None
+        if args.blocklist is not None:
+            if args.domain_col is None:
+                raise SystemExit("--blocklist requires --domain-col")
+            with open(args.blocklist) as f:
+                domains = [(ln.strip(),) for ln in f if ln.strip()]
+            blocklist = spark.createDataFrame(domains, "domain string")
         annotated, examples, funnel = build_training_examples(
             spark,
             spark.read.parquet(args.input),
@@ -195,6 +215,11 @@ def main(argv: list[str] | None = None) -> None:
             span_k=args.span_k,
             snapshot_index=snapshot_index,
             snapshot_threshold=args.index_threshold,
+            domain_col=args.domain_col,
+            domain_blocklist=blocklist,
+            domain_min_docs=args.domain_min_docs,
+            domain_max_dup_rate=args.domain_max_dup_rate,
+            domain_min_quality=args.domain_min_quality,
         )
         annotated.write.mode("overwrite").parquet(
             os.path.join(args.output, "annotated")

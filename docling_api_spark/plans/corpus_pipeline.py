@@ -51,12 +51,18 @@ def annotate_corpus(
     split_salt: str = "split",
     snapshot_index: DataFrame | None = None,
     snapshot_threshold: float = 0.6,
+    domain_col: str | None = None,
+    domain_blocklist: DataFrame | None = None,
+    domain_min_docs: int = 1,
+    domain_max_dup_rate: float | None = None,
+    domain_min_quality: float | None = None,
 ) -> DataFrame:
     """One row per input document carrying every stage's verdict:
 
     (id_col, status, extracted_text, n_extracted_tokens, quality_score,
-     ok_extract, ok_quality, exact_keeper, is_exact_dup, cluster_id,
-     is_near_dup, snapshot_dup, contaminated, split, final_keep)
+     ok_extract, ok_quality, domain_drop, exact_keeper, is_exact_dup,
+     cluster_id, is_near_dup, snapshot_dup, contaminated, split,
+     final_keep)
 
     ``final_keep`` is the conjunction of the funnel gates; ``split`` is
     assigned for every extraction-passing document (so eval-set sizing
@@ -71,6 +77,15 @@ def annotate_corpus(
     batch's dedup keepers only (strict funnel) and decontamination runs
     only over snapshot survivors, keeping every drop flag DISJOINT (the
     funnel arithmetic depends on it).
+
+    ``domain_col`` (optional) enables the RefinedWeb-style domain stage
+    (operators/domains.py): per-domain stats are rolled up over QUALITY
+    SURVIVORS only, the policy verdict (blocklist -> min_docs ->
+    dup_rate -> quality thresholds) broadcasts back, and
+    ``domain_drop`` gates BEFORE dedup — a domain that is dropped
+    wholesale never pays the dedup/decontam shuffles. Disjointness:
+    domain_drop is only set on ok_quality docs, and every later flag is
+    computed over domain survivors only.
     """
     from docling_api_spark.operators.decontam import ngram_decontaminate
     from docling_api_spark.operators.dedup import minhash_near_duplicates
@@ -80,10 +95,12 @@ def annotate_corpus(
     from docling_api_spark.operators.textstats import with_quality_score
 
     # A) extract + quality score, one projection chain off the scan
-    ext = extract_text_column(docs, keep_cols=[id_col])
+    keep_cols = [id_col] + ([domain_col] if domain_col else [])
+    ext = extract_text_column(docs, keep_cols=keep_cols)
     q = with_quality_score(ext, text_col="extracted_text")
     base = q.select(
         id_col,
+        *([domain_col] if domain_col else []),
         "status",
         "extracted_text",
         F.when(
@@ -113,16 +130,41 @@ def annotate_corpus(
         base, id_col, splits=list(splits), salt=split_salt
     ).localCheckpoint(eager=True)
 
-    # B) exact dedup over quality survivors: min-id keeper per content,
-    # shuffling only the precomputed 32-byte hash column
-    surv = base.filter("ok_quality").select(id_col, "extracted_text")
+    # A') optional domain stage (RefinedWeb posture): stats over quality
+    # survivors, verdict broadcasts back, gates BEFORE dedup — all off
+    # the already-checkpointed base, one extra groupBy on the domain key
+    if domain_col is not None:
+        from docling_api_spark.operators.domains import (
+            domain_policy, domain_stats)
+
+        pol = domain_policy(
+            domain_stats(
+                base.filter("ok_quality"), domain_col=domain_col,
+                text_col="extracted_text", quality_col="quality_score",
+            ),
+            blocklist=domain_blocklist, min_docs=domain_min_docs,
+            max_dup_rate=domain_max_dup_rate,
+            min_mean_quality=domain_min_quality,
+        ).select(F.col("domain").alias(domain_col),
+                 F.col("keep").alias("_dom_keep"))
+        base = base.join(F.broadcast(pol), domain_col, "left").withColumn(
+            "domain_drop",
+            F.col("ok_quality") & ~F.coalesce("_dom_keep", F.lit(True)),
+        ).drop("_dom_keep")
+    else:
+        base = base.withColumn("domain_drop", F.lit(False))
+
+    # B) exact dedup over quality+domain survivors: min-id keeper per
+    # content, shuffling only the precomputed 32-byte hash column
+    gated = base.filter("ok_quality and not domain_drop")
+    surv = gated.select(id_col, "extracted_text")
     keepers = (
-        base.filter("ok_quality").select(id_col, "_sha")
+        gated.select(id_col, "_sha")
         .groupBy("_sha")
         .agg(F.min(id_col).alias("exact_keeper"))
     )
     exact = (
-        base.filter("ok_quality").select(id_col, "_sha")
+        gated.select(id_col, "_sha")
         .join(keepers, "_sha")
         .select(id_col, "exact_keeper")
     )
@@ -214,6 +256,7 @@ def annotate_corpus(
         .withColumn(
             "final_keep",
             F.col("ok_quality")
+            & ~F.col("domain_drop")
             & ~F.col("is_exact_dup")
             & ~F.col("is_near_dup")
             & ~F.col("snapshot_dup")
@@ -230,6 +273,7 @@ def corpus_funnel(annotated: DataFrame) -> dict:
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("ok_extract").cast("long")).alias("n_extracted"),
         F.sum(F.col("ok_quality").cast("long")).alias("n_quality"),
+        F.sum(F.col("domain_drop").cast("long")).alias("n_domain_dropped"),
         F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dropped"),
         F.sum(F.col("is_near_dup").cast("long")).alias("n_near_dropped"),
         F.sum(F.col("snapshot_dup").cast("long")).alias("n_snapshot_dropped"),

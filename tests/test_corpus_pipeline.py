@@ -272,3 +272,72 @@ def test_gate_that_drops_everything_is_total(spark):
     assert funnel["n_quality"] == 0 and funnel["n_kept"] == 0
     assert funnel["n_chunks"] == 0 and examples.count() == 0
     assert annotated.count() == funnel["n_input"]
+
+
+def test_domain_stage_wiring(spark):
+    """Opt-in domain stage: blocklisted and dup-heavy domains drop
+    wholesale BEFORE dedup, flags stay disjoint, funnel arithmetic
+    extends by n_domain_dropped, and off-mode is unchanged."""
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    d = spark.read.parquet(DOCS).select("doc_id", "text", "source")
+    injected = spark.createDataFrame(
+        [
+            # blocklisted domain: two perfectly fine unique docs
+            (20001, " ".join(f"evilword{i}" for i in range(50)), "evil.x"),
+            (20002, " ".join(f"evilword{i}" for i in range(50, 100)),
+             "evil.x"),
+            # dup-heavy domain: 5 docs, 1 distinct text (dup_rate 0.8)
+            *[
+                (20010 + i,
+                 " ".join(f"pasta{j}" for j in range(40)), "copy.pasta")
+                for i in range(5)
+            ],
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs = d.unionByName(injected)
+    eval_docs = spark.createDataFrame(
+        [(90001, "nothing leaks here at all")], "doc_id long, text string"
+    )
+    bl = spark.createDataFrame([("evil.x",)], "domain string")
+    annotated, _, funnel = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, quality_floor=0.0,
+        domain_col="source", domain_blocklist=bl,
+        domain_max_dup_rate=0.75,
+    )
+    flags = {
+        r["doc_id"]: r
+        for r in annotated.filter(F.col("doc_id") >= 20000).collect()
+    }
+    assert all(f["domain_drop"] for f in flags.values())
+    # disjoint: a domain-dropped doc never carries a later-stage flag
+    for f in flags.values():
+        assert not f["is_exact_dup"] and not f["is_near_dup"]
+        assert not f["contaminated"] and not f["final_keep"]
+    assert funnel["n_domain_dropped"] == 7
+    assert funnel["n_kept"] == (
+        funnel["n_quality"]
+        - funnel["n_domain_dropped"]
+        - funnel["n_exact_dropped"]
+        - funnel["n_near_dropped"]
+        - funnel["n_snapshot_dropped"]
+        - funnel["n_contaminated"]
+    )
+
+    # off-mode: no domain drops, every shared funnel key unchanged vs
+    # a run over the un-injected corpus
+    _, _, funnel_off = build_training_examples(
+        spark, d, eval_docs, ctx_len=64, quality_floor=0.0
+    )
+    assert funnel_off["n_domain_dropped"] == 0
+    # the injected docs all pass quality and all domain-drop, so the
+    # post-domain funnel is identical to the clean-corpus run
+    assert funnel_off["n_quality"] == (
+        funnel["n_quality"] - funnel["n_domain_dropped"]
+    )
+    for k in ("n_exact_dropped", "n_near_dropped",
+              "n_contaminated", "n_kept"):
+        assert funnel_off[k] == funnel[k], k
