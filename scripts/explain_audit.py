@@ -153,6 +153,15 @@ def _build_profile(spark, sf_dir):
     )
 
 
+def _build_global_shuffle(spark, sf_dir):
+    from docling_api_spark.operators.ordering import global_shuffle
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return global_shuffle(d, ["doc_id"])
+
+
 def _build_domain_policy(spark, sf_dir):
     from docling_api_spark.operators.domains import (
         apply_domain_policy, domain_policy, domain_stats)
@@ -238,6 +247,15 @@ EXTRA_CHECKS = {
                 "key (text dedups via 32-byte sha2 inside the agg, never "
                 "shuffles); the per-domain verdict table (#domains rows) "
                 "BROADCASTS back onto the corpus",
+    },
+    "ordering_global_shuffle": {
+        "build": _build_global_shuffle,
+        "must": ["Exchange", "Sort", "Window"],
+        "must_not": ["rangepartitioning", "CartesianProduct"],
+        "note": "deterministic training-order shuffle is ONE hash "
+                "exchange on the shard id + a per-shard sort — never the "
+                "range-partitioned global orderBy (which would add a "
+                "sampling pass and a driver-computed range table)",
     },
     "corpus_profile": {
         "build": _build_profile,
