@@ -153,6 +153,15 @@ def _build_profile(spark, sf_dir):
     )
 
 
+def _build_c4_clean(spark, sf_dir):
+    from docling_api_spark.operators.heuristics import c4_clean_lines
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return c4_clean_lines(d)
+
+
 def _build_global_shuffle(spark, sf_dir):
     from docling_api_spark.operators.ordering import global_shuffle
 
@@ -247,6 +256,15 @@ EXTRA_CHECKS = {
                 "key (text dedups via 32-byte sha2 inside the agg, never "
                 "shuffles); the per-domain verdict table (#domains rows) "
                 "BROADCASTS back onto the corpus",
+    },
+    "c4_clean_lines": {
+        "build": _build_c4_clean,
+        "must": ["Project"],
+        "must_not": ["Exchange", "ArrowEvalPython", "BatchEvalPython",
+                     "Generate"],
+        "note": "the whole C4 rule set is ONE shuffle-free codegen "
+                "projection (HOF filters over split('\\n')) — no Python, "
+                "no explode; it fuses into whatever scan feeds it",
     },
     "ordering_global_shuffle": {
         "build": _build_global_shuffle,
