@@ -20,7 +20,9 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
            --domain-min-quality] -> dedup ->
            [--index: drop docs duplicating a previous crawl] ->
            decontam -> split -> [--span-k: cut duplicated spans] ->
-           chunk -> pack; writes annotated/ and examples/ parquet plus
+           chunk -> pack -> [--shuffle-shards: deterministic
+           training-order permutation at the bin grain];
+           writes annotated/ and examples/ parquet plus
            funnel.json, prints the funnel)
 
 Benchmarks live in bench.py at the repo root (not a subcommand here).
@@ -120,6 +122,12 @@ def main(argv: list[str] | None = None) -> None:
     k.add_argument("--domain-min-docs", type=int, default=1)
     k.add_argument("--domain-max-dup-rate", type=float, default=None)
     k.add_argument("--domain-min-quality", type=float, default=None)
+    k.add_argument("--shuffle-shards", type=int, default=None,
+                   help="append a deterministic training-order "
+                        "permutation: (shard, position) per example")
+    k.add_argument("--shuffle-salt", default="epoch0",
+                   help="permutation salt (fold the epoch number in "
+                        "for per-epoch reshuffles)")
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -213,6 +221,8 @@ def main(argv: list[str] | None = None) -> None:
             quality_floor=args.quality_floor,
             near_threshold=args.near_threshold,
             span_k=args.span_k,
+            shuffle_shards=args.shuffle_shards,
+            shuffle_salt=args.shuffle_salt,
             snapshot_index=snapshot_index,
             snapshot_threshold=args.index_threshold,
             domain_col=args.domain_col,

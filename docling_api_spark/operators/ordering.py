@@ -33,11 +33,15 @@ from pyspark.sql import functions as F
 
 
 def global_shuffle(df: DataFrame, key_cols: list[str],
-                   salt: str = "shuffle",
-                   n_shards: int = 64) -> DataFrame:
-    """Append (shard, position): a deterministic pseudo-random total
-    order over ``key_cols`` (which must uniquely identify a row — the
-    usual chunk/example id). Reading shards 0..n_shards-1 in position
+                   salt: str = "shuffle", n_shards: int = 64,
+                   shard_col: str = "shard",
+                   pos_col: str = "position") -> DataFrame:
+    """Append (shard_col, pos_col): a deterministic pseudo-random total
+    order over ``key_cols``. Rows sharing the same key share the same
+    slot (dense_rank) — so permuting at a coarser grain than the row
+    (e.g. packed BINS, where several chunk rows form one training
+    example) keeps each group contiguous; for unique keys this is
+    exactly a row permutation. Reading shards 0..n_shards-1 in position
     order replays the same permutation on every run and at any
     parallelism; change ``salt`` (e.g. fold in the epoch number) for an
     independent permutation."""
@@ -46,12 +50,12 @@ def global_shuffle(df: DataFrame, key_cols: list[str],
         F.xxhash64(F.lit(salt + "#shard"), *keys), F.lit(n_shards)
     ).cast("int")
     okey = F.xxhash64(F.lit(salt + "#order"), *keys)
-    w = Window.partitionBy("shard").orderBy(
+    w = Window.partitionBy(shard_col).orderBy(
         F.col("_okey"), *[F.col(c) for c in key_cols]
     )
     return (
-        df.withColumn("shard", shard)
+        df.withColumn(shard_col, shard)
         .withColumn("_okey", okey)
-        .withColumn("position", F.row_number().over(w) - 1)
+        .withColumn(pos_col, F.dense_rank().over(w) - 1)
         .drop("_okey")
     )

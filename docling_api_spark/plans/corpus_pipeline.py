@@ -306,6 +306,8 @@ def build_training_examples(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_k: int | None = None,
+    shuffle_shards: int | None = None,
+    shuffle_salt: str = "epoch0",
     **annotate_kwargs,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """The full pipeline: returns (annotated, examples, funnel).
@@ -326,6 +328,11 @@ def build_training_examples(
     ``n_spans_cut`` / ``n_span_tokens_cut`` / ``n_span_emptied``; docs
     cut to whitespace-only are dropped from examples (counted, never
     silent).
+
+    ``shuffle_shards`` (optional) appends a deterministic training-order
+    permutation (operators/ordering.py) to every example: (shard,
+    position) keyed on chunk_id under ``shuffle_salt`` — fold the epoch
+    number into the salt for per-epoch reshuffles.
     """
     from docling_api_spark.operators.chunking import chunk_documents
     from docling_api_spark.operators.packing import pack_sequences
@@ -383,15 +390,23 @@ def build_training_examples(
         id_col="chunk_id",
         token_count_col="n_tokens",
     )
-    examples = (
-        chunks.select(
-            "chunk_id", id_col, "chunk_idx", "token_start", "chunk_text"
+    examples = chunks.select(
+        "chunk_id", id_col, "chunk_idx", "token_start", "chunk_text"
+    ).join(packed, "chunk_id")
+    if shuffle_shards:
+        from docling_api_spark.operators.ordering import global_shuffle
+
+        # permute at the BIN grain (a packed bin is one training
+        # example): chunks of the same (shard, bin_idx) share one
+        # (order_shard, order_pos) slot and stay contiguous
+        examples = global_shuffle(
+            examples, ["shard", "bin_idx"], salt=shuffle_salt,
+            n_shards=shuffle_shards,
+            shard_col="order_shard", pos_col="order_pos",
         )
-        .join(packed, "chunk_id")
-        # materialize once: the chunk explode + packing shuffle + join
-        # otherwise re-executes for the funnel count AND again for every
-        # caller action (the CLI's parquet write)
-        .localCheckpoint(eager=True)
-    )
+    # materialize once: the chunk explode + packing shuffle + join (and
+    # the optional order window) otherwise re-execute for the funnel
+    # count AND again for every caller action (the CLI's parquet write)
+    examples = examples.localCheckpoint(eager=True)
     funnel["n_chunks"] = examples.count()
     return annotated, examples, funnel

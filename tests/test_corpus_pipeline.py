@@ -341,3 +341,47 @@ def test_domain_stage_wiring(spark):
     for k in ("n_exact_dropped", "n_near_dropped",
               "n_contaminated", "n_kept"):
         assert funnel_off[k] == funnel[k], k
+
+
+def test_shuffle_shards_wiring(spark):
+    """Opt-in training-order shuffle: every example gets a unique dense
+    (shard, position) slot, the permutation is salt-stable, and
+    off-mode leaves the examples schema untouched."""
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    docs, eval_docs = _corpus(spark)
+    _, ex, _ = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, stride=48, quality_floor=0.0,
+        shuffle_shards=4,
+    )
+    rows = ex.select("chunk_id", "shard", "bin_idx",
+                     "order_shard", "order_pos").collect()
+    # permutation is at the BIN grain: all chunks of one packed bin
+    # share one slot, slots are unique per bin and dense per shard
+    per_bin = {}
+    for r in rows:
+        per_bin.setdefault((r["shard"], r["bin_idx"]), set()).add(
+            (int(r["order_shard"]), int(r["order_pos"])))
+    assert all(len(s) == 1 for s in per_bin.values())
+    slots = [next(iter(s)) for s in per_bin.values()]
+    assert len(set(slots)) == len(per_bin)
+    for s in range(4):
+        poss = sorted(p for sh, p in slots if sh == s)
+        assert poss == list(range(len(poss)))
+    # same salt -> same permutation
+    _, ex2, _ = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, stride=48, quality_floor=0.0,
+        shuffle_shards=4,
+    )
+    a = {r["chunk_id"]: (r["order_shard"], r["order_pos"]) for r in rows}
+    b = {r["chunk_id"]: (r["order_shard"], r["order_pos"])
+         for r in ex2.select("chunk_id", "order_shard",
+                             "order_pos").collect()}
+    assert a == b
+
+    _, ex_off, _ = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, stride=48, quality_floor=0.0,
+    )
+    assert "order_shard" not in ex_off.columns

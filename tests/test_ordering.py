@@ -70,6 +70,29 @@ def test_salt_changes_permutation_deterministically(spark):
         assert len(set(m.values())) == len(m)
 
 
+def test_group_grain_shares_slots(spark):
+    """Rows sharing the key (e.g. chunks of one packed bin) share one
+    slot and slots stay dense per shard."""
+    from docling_api_spark.operators.ordering import global_shuffle
+
+    rows = [(i // 3, i) for i in range(30)]  # 10 groups of 3 rows
+    df = spark.createDataFrame(rows, "bin long, row long")
+    got = global_shuffle(
+        df, ["bin"], n_shards=4, shard_col="os", pos_col="op"
+    ).collect()
+    per_bin = {}
+    for r in got:
+        per_bin.setdefault(int(r["bin"]), set()).add(
+            (int(r["os"]), int(r["op"])))
+    # one slot per group, shared by all its rows
+    assert all(len(s) == 1 for s in per_bin.values())
+    slots = [next(iter(s)) for s in per_bin.values()]
+    assert len(set(slots)) == len(per_bin)
+    for s in range(4):
+        poss = sorted(p for sh, p in slots if sh == s)
+        assert poss == list(range(len(poss)))
+
+
 def test_parallelism_invariance(spark):
     from docling_api_spark.operators.ordering import global_shuffle
 
