@@ -153,6 +153,15 @@ def _build_profile(spark, sf_dir):
     )
 
 
+def _build_hashed_embeddings(spark, sf_dir):
+    from docling_api_spark.operators.embedding import hashed_embeddings
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return hashed_embeddings(d)
+
+
 def _build_c4_clean(spark, sf_dir):
     from docling_api_spark.operators.heuristics import c4_clean_lines
 
@@ -256,6 +265,16 @@ EXTRA_CHECKS = {
                 "key (text dedups via 32-byte sha2 inside the agg, never "
                 "shuffles); the per-domain verdict table (#domains rows) "
                 "BROADCASTS back onto the corpus",
+    },
+    "hashed_text_embeddings": {
+        "build": _build_hashed_embeddings,
+        "must": ["Generate", "HashAggregate", "xxhash64"],
+        "must_not": ["ArrowEvalPython", "BatchEvalPython",
+                     "SortMergeJoin", "CartesianProduct"],
+        "note": "signed-projection text embeddings are one explode + ONE "
+                "partial-agg groupBy with 64 codegen'd conditional sums "
+                "(the proven simhash64 plan shape) — exact long sums, no "
+                "Python, one exchange on doc_id",
     },
     "c4_clean_lines": {
         "build": _build_c4_clean,
