@@ -28,9 +28,11 @@ Shape at 100 TB:
   - training shuffles one (feature, class) pair per token occurrence,
     collapsed map-side by the partial agg (hot features — stopwords —
     combine before the exchange, no skew);
-  - the only driver materialization is 4 scalar totals (token totals and
-    doc counts per class) — same bounded-collect posture as the 16-row
-    k-means centroid collect.
+  - driver/executor materialization is bounded by construction: a
+    handful of scalar totals plus one localCheckpoint of the
+    ≤ n_buckets-row count table (so the seed-counting pass runs once,
+    not once per consumer) — same posture as the 16-row k-means
+    centroid collect.
 
 Feature definition (mirrors the string-free minhash idiom, dedup.py):
 token hashed once to a long via a materialized HOF transform; unigram
@@ -120,26 +122,40 @@ def nb_train(labeled: DataFrame, positive, label_col: str = "label",
     """
     nn = labeled.filter(F.col(text_col).isNotNull())
     is_pos = F.col(label_col) == F.lit(positive)
-    feats = hashed_features(
-        nn, id_col, text_col, n_buckets, bigrams, carry_cols=(label_col,)
-    ).filter(F.col("feature").isNotNull())
-    counts = feats.groupBy("feature").agg(
-        F.sum(F.when(is_pos, 1).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(is_pos, 0).otherwise(1)).alias("c_neg"),
-    )
-    # bounded driver materialization: 4 scalars (see module docstring)
-    tot = counts.agg(
-        F.coalesce(F.sum("c_pos"), F.lit(0)).alias("t_pos"),
-        F.coalesce(F.sum("c_neg"), F.lit(0)).alias("t_neg"),
-    ).collect()[0]
+    # doc counts FIRST (cheap scan) — and a loud failure on NULL labels:
+    # `label == positive` is NULL for them, and every when(is_pos, ...)
+    # would otherwise silently route them into the negative class
     docs = nn.agg(
         F.coalesce(F.sum(F.when(is_pos, 1).otherwise(0)), F.lit(0))
         .alias("n_pos"),
         F.coalesce(F.sum(F.when(is_pos, 0).otherwise(1)), F.lit(0))
         .alias("n_neg"),
+        F.coalesce(
+            F.sum(F.col(label_col).isNull().cast("long")), F.lit(0)
+        ).alias("n_null"),
     ).collect()[0]
+    if docs["n_null"] > 0:
+        raise ValueError(
+            f"nb_train: {docs['n_null']} documents carry a NULL "
+            f"{label_col!r} — label every seed doc (any non-positive "
+            "label is the negative class, but NULL is ambiguous)")
     if docs["n_pos"] == 0 or docs["n_neg"] == 0:
         raise ValueError("nb_train needs at least one document per class")
+    feats = hashed_features(
+        nn, id_col, text_col, n_buckets, bigrams, carry_cols=(label_col,)
+    ).filter(F.col("feature").isNotNull())
+    # materialized once (<= n_buckets rows by construction): the counting
+    # pass otherwise re-executes for the totals agg AND for every scoring
+    # action that consumes the weights
+    counts = feats.groupBy("feature").agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("c_neg"),
+    ).localCheckpoint(eager=True)
+    # bounded driver materialization: 2 scalars (see module docstring)
+    tot = counts.agg(
+        F.coalesce(F.sum("c_pos"), F.lit(0)).alias("t_pos"),
+        F.coalesce(F.sum("c_neg"), F.lit(0)).alias("t_neg"),
+    ).collect()[0]
     logden_pos = math.log(tot["t_pos"] + alpha * n_buckets)
     logden_neg = math.log(tot["t_neg"] + alpha * n_buckets)
     const = logden_neg - logden_pos

@@ -39,20 +39,26 @@ from .textstats import _ratio_e4
 
 def domain_stats(df: DataFrame, domain_col: str = "source",
                  text_col: str = "text",
-                 quality_col: str | None = None) -> DataFrame:
+                 quality_col: str | None = None,
+                 hash_col: str | None = None) -> DataFrame:
     """Per-domain: n_docs, n_distinct_texts, dup_rate (exact, 6dp),
     total_tokens, avg_doc_tokens (2dp), and mean_quality (4dp, only when
     ``quality_col`` — an e4 fixed-point double as produced by
     textstats.with_quality_score — is given). NULL texts count as docs
     with 0 tokens and are excluded from the distinct/dup accounting
-    (no content to duplicate)."""
+    (no content to duplicate). NULL domains form their own group (the
+    policy can and does gate them). ``hash_col`` (optional) names a
+    PRECOMPUTED content-hash column (NULL exactly when the text is
+    NULL) so callers that already carry one — the corpus pipeline's
+    _sha — don't pay a second full-text SHA-256."""
     ntoks = F.when(
         F.col(text_col).isNotNull(), F.size(_tokens(F.col(text_col)))
     ).otherwise(F.lit(0))
+    content = (F.col(hash_col) if hash_col is not None
+               else F.sha2(F.col(text_col), 256))
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.sha2(F.col(text_col), 256))
-        .alias("n_distinct_texts"),
+        F.countDistinct(content).alias("n_distinct_texts"),
         F.sum(F.when(F.col(text_col).isNotNull(), 1).otherwise(0))
         .alias("_n_nonnull"),
         F.sum(ntoks.cast("long")).alias("total_tokens"),
@@ -115,12 +121,27 @@ def domain_policy(stats: DataFrame, blocklist: DataFrame | None = None,
 def apply_domain_policy(df: DataFrame, policy: DataFrame,
                         domain_col: str = "source") -> DataFrame:
     """Annotate every document with its domain verdict (keep,
-    drop_reason); documents from domains absent in the policy table are
-    KEPT (policy covers what stats saw — an unseen domain has no
-    evidence against it). Caller filters on ``keep``; annotation keeps
-    the funnel auditable (corpus-pipeline convention)."""
-    pol = policy.select(F.col("domain").alias(domain_col),
-                        "keep", "drop_reason")
-    return df.join(F.broadcast(pol), domain_col, "left").withColumn(
-        "keep", F.coalesce(F.col("keep"), F.lit(True))
+    drop_reason — REPLACING any input columns of those names, the
+    annotate-operator convention); documents from domains absent in the
+    policy table are KEPT (policy covers what stats saw — an unseen
+    domain has no evidence against it). NULL-domain documents match the
+    policy's NULL group (eqNullSafe join) — a drop verdict against the
+    NULL domain is enforced, not bypassed. Caller filters on ``keep``;
+    annotation keeps the funnel auditable (corpus-pipeline
+    convention)."""
+    pol = policy.select(
+        F.col("domain").alias("_dom_domain"),
+        F.col("keep").alias("_dom_keep"),
+        F.col("drop_reason").alias("_dom_reason"),
+    )
+    return (
+        df.join(
+            F.broadcast(pol),
+            F.col(domain_col).eqNullSafe(F.col("_dom_domain")),
+            "left",
+        )
+        .drop("_dom_domain")
+        .withColumn("keep", F.coalesce(F.col("_dom_keep"), F.lit(True)))
+        .withColumn("drop_reason", F.col("_dom_reason"))
+        .drop("_dom_keep", "_dom_reason")
     )

@@ -27,8 +27,9 @@ Shape at 100 TB:
     the same semantics (documented trade, not taken by default).
   - the hashed vocabulary bounds the context table to V+1 rows and the
     bigram table to the reference's distinct hashed bigrams (never V²).
-  - training needs NO driver materialization at all; scoring shuffles
-    only the per-document partial sums.
+  - training runs the reference pass ONCE into two model-sized
+    checkpointed count tables (no driver collect beyond meta constants);
+    scoring shuffles only the per-document partial sums.
 
 Reference parity: no reference analog (per-document gateway); part of
 the training-data-pipeline layer the brief adds (SURVEY §2.12).
@@ -94,13 +95,19 @@ def train_lm(ref: DataFrame, id_col: str = "doc_id",
              scale: int = LM_SCALE) -> tuple[DataFrame, DataFrame, dict]:
     """Train the smoothed bigram LM on the reference corpus. Returns
     ``(bigrams, contexts, meta)`` — see module docstring for the table
-    contracts. Zero driver materialization; both outputs are lazy."""
+    contracts. The count tables are materialized ONCE (eager
+    localCheckpoint; both are model-sized by construction): left lazy,
+    the reference counting pass would re-execute for each of the two
+    broadcast tables score_lm builds from them."""
     pairs = _pair_stream(
         ref.filter(F.col(text_col).isNotNull()), id_col, text_col,
         n_buckets,
     ).filter(F.col("cur").isNotNull())
-    c_bi = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bi"))
-    c_ctx = c_bi.groupBy("prev").agg(F.sum("c_bi").alias("c_prev"))
+    c_bi = pairs.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c_bi")
+    ).localCheckpoint(eager=True)
+    c_ctx = c_bi.groupBy("prev").agg(F.sum("c_bi").alias("c_prev")) \
+        .localCheckpoint(eager=True)
     av = F.lit(float(alpha * n_buckets))
     bigrams = (
         c_bi.join(F.broadcast(c_ctx), "prev")

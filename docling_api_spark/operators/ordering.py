@@ -12,9 +12,10 @@ the sample). Epoch reshuffles fold the epoch into the salt: a different
 salt is a completely different (but equally deterministic) permutation.
 
 Determinism: shard and order key are xxhash64 of (salt, key columns);
-position is a row_number ordered by (order key, key columns) — the key
-tie-break makes the permutation total even under hash collisions, so the
-result is bit-identical at any parallelism.
+position is a dense_rank ordered by (order key, key columns) — the key
+tie-break makes the permutation total even under hash collisions, rows
+sharing a key share one slot (the group grain), and the result is
+bit-identical at any parallelism.
 
 Shape at 100 TB: ONE hash exchange on the shard id + a per-shard sort —
 the minimum any global permutation costs. Shard count is the

@@ -63,7 +63,6 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     runs/engines); ``rank`` is its single-division float convenience.
     Nodes are distinct(src) ∪ distinct(dst); every node starts at
     floor(scale/N)."""
-    spark = edges.sparkSession
     e = prepare_edges(edges, src_col, dst_col)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -102,17 +101,15 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
             .join(e, ranks["node"] == e["src"])
             .select(
                 F.col("dst").alias("node"),
-                # floor(rank·d_num / (d_den·outdeg)): exact per-row div
-                ((F.col("rank_scaled") * F.lit(d_num).cast("long"))
-                 - F.pmod(
-                     F.col("rank_scaled") * F.lit(d_num).cast("long"),
-                     F.lit(d_den).cast("long") * F.col("outdeg"))
-                 ).alias("_num"),
+                (F.col("rank_scaled") * F.lit(d_num).cast("long"))
+                .alias("_num"),
                 (F.lit(d_den).cast("long") * F.col("outdeg")).alias("_den"),
             )
-            .select("node",
-                    (F.col("_num") / F.col("_den")).cast("long")
-                    .alias("c"))
+            # floor(rank·d_num / (d_den·outdeg)) via the INTEGRAL `div`
+            # operator — exact LONG division at any scale (a double
+            # division would round above 2^53, breaking the exactness
+            # contract for large `scale` values)
+            .select("node", F.expr("_num div _den").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )

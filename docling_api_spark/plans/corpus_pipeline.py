@@ -141,16 +141,22 @@ def annotate_corpus(
             domain_stats(
                 base.filter("ok_quality"), domain_col=domain_col,
                 text_col="extracted_text", quality_col="quality_score",
+                hash_col="_sha",  # reuse the dedup stage's precomputed sha
             ),
             blocklist=domain_blocklist, min_docs=domain_min_docs,
             max_dup_rate=domain_max_dup_rate,
             min_mean_quality=domain_min_quality,
-        ).select(F.col("domain").alias(domain_col),
+        ).select(F.col("domain").alias("_dom_domain"),
                  F.col("keep").alias("_dom_keep"))
-        base = base.join(F.broadcast(pol), domain_col, "left").withColumn(
+        # eqNullSafe: a drop verdict against the NULL-domain group must
+        # gate NULL-source docs too, not bypass them
+        base = base.join(
+            F.broadcast(pol),
+            F.col(domain_col).eqNullSafe(F.col("_dom_domain")), "left",
+        ).withColumn(
             "domain_drop",
             F.col("ok_quality") & ~F.coalesce("_dom_keep", F.lit(True)),
-        ).drop("_dom_keep")
+        ).drop("_dom_keep", "_dom_domain")
     else:
         base = base.withColumn("domain_drop", F.lit(False))
 

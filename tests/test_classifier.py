@@ -198,3 +198,17 @@ def test_single_class_training_raises(spark, labeled):
     train_df, _, _, _ = labeled
     with pytest.raises(ValueError):
         nb_train(train_df.filter("label = 'good'"), positive="good")
+
+
+def test_null_labels_raise(spark, labeled):
+    from docling_api_spark.operators.classifier import nb_train
+    from pyspark.sql import functions as F
+
+    train_df, _, _, _ = labeled
+    nulled = train_df.withColumn(
+        "label",
+        F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("label")),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        nb_train(nulled, positive="good")

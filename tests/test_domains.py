@@ -132,3 +132,33 @@ def test_null_text_and_invariance(spark):
         )
 
     assert run(big.repartition(1)) == run(big.repartition(13))
+
+
+def test_null_domain_verdict_is_enforced(spark):
+    """A drop verdict against the NULL-domain group must gate
+    NULL-source docs (eqNullSafe join), not silently bypass them; and
+    apply composes onto frames that already carry a `keep` column
+    (replaced, not AnalysisException)."""
+    from docling_api_spark.operators.domains import (
+        apply_domain_policy, domain_policy, domain_stats)
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same dup text", None), (2, "same dup text", None),
+            (3, "same dup text", None), (4, "same dup text", None),
+            (5, "a unique healthy document", "good.org"),
+            (6, "another unique healthy document", "good.org"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    pol = domain_policy(domain_stats(docs), max_dup_rate=0.5)
+    v = {r["domain"]: (r["keep"], r["drop_reason"]) for r in pol.collect()}
+    assert v[None] == (False, "dup_rate")
+    out = apply_domain_policy(
+        docs.withColumn("keep", F.lit(True)), pol  # pre-existing `keep`
+    )
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"])
+           for r in out.collect()}
+    assert all(got[i] == (False, "dup_rate") for i in (1, 2, 3, 4))
+    assert got[5] == (True, None) and got[6] == (True, None)

@@ -83,3 +83,17 @@ def test_empty_and_invariance(spark):
         )
 
     assert run(df.repartition(1)) == run(df.repartition(9))
+
+
+def test_large_scale_stays_exact(spark):
+    """scale beyond 2^49 must still match the integer replica — the
+    contribution divide is the INTEGRAL `div`, not a double divide that
+    rounds past 2^53."""
+    from docling_api_spark.operators.pagerank import pagerank
+
+    edges = _graph()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    big = 1 << 55
+    got = {int(r["node"]): int(r["rank_scaled"])
+           for r in pagerank(df, n_iter=3, scale=big).collect()}
+    assert got == py_pagerank(edges, 3, scale=big)
