@@ -14,7 +14,8 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
           (corpus card: counts, exact token percentiles, quality avg,
            language distribution, duplicate-rate estimate)
   corpus  --input <docs parquet> --eval <eval parquet> --output <dir>
-          (full training-corpus build: extract -> quality ->
+          (full training-corpus build: extract ->
+           [--c4: heuristic line cleaning + doc gate] -> quality ->
            [--domain-col: per-source policy gate, with --blocklist /
            --domain-min-docs / --domain-max-dup-rate /
            --domain-min-quality] -> dedup ->
@@ -119,6 +120,12 @@ def main(argv: list[str] | None = None) -> None:
     k.add_argument("--blocklist", default=None,
                    help="text file of blocklisted domains, one per line "
                         "(requires --domain-col)")
+    k.add_argument("--c4", action="store_true",
+                   help="run the C4 heuristic stage first: line "
+                        "cleaning rewrites the extracted text, the "
+                        "document gate folds into the quality gate")
+    k.add_argument("--c4-min-words", type=int, default=5)
+    k.add_argument("--c4-min-sentences", type=int, default=3)
     k.add_argument("--domain-min-docs", type=int, default=1)
     k.add_argument("--domain-max-dup-rate", type=float, default=None)
     k.add_argument("--domain-min-quality", type=float, default=None)
@@ -225,6 +232,9 @@ def main(argv: list[str] | None = None) -> None:
             shuffle_salt=args.shuffle_salt,
             snapshot_index=snapshot_index,
             snapshot_threshold=args.index_threshold,
+            c4=args.c4,
+            c4_min_words=args.c4_min_words,
+            c4_min_sentences=args.c4_min_sentences,
             domain_col=args.domain_col,
             domain_blocklist=blocklist,
             domain_min_docs=args.domain_min_docs,

@@ -15,6 +15,13 @@ annotate-don't-drop: the document row always survives with a
 ``c4_keep`` verdict); ``c4_document_flags`` is the cheap flags-only
 variant when the caller only gates.
 
+Composition note: the extraction kernel collapses single newlines
+inside a block and separates markdown blocks with a blank line, so when
+this stage runs POST-extraction (the corpus pipeline's ``c4=True``),
+the "line" unit is the markdown block — the faithful analog of C4's
+web-text line; the blank separator lines are short-line drops by
+construction.
+
 Everything is JVM higher-order functions over one split('\\n') array —
 one codegen projection, no shuffle, no Python, no regex backtracking
 hazards (all classes are bounded). Deterministic by construction

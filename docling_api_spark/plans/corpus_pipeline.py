@@ -56,13 +56,16 @@ def annotate_corpus(
     domain_min_docs: int = 1,
     domain_max_dup_rate: float | None = None,
     domain_min_quality: float | None = None,
+    c4: bool = False,
+    c4_min_words: int = 5,
+    c4_min_sentences: int = 3,
 ) -> DataFrame:
     """One row per input document carrying every stage's verdict:
 
     (id_col, status, extracted_text, n_extracted_tokens, quality_score,
-     ok_extract, ok_quality, domain_drop, exact_keeper, is_exact_dup,
-     cluster_id, is_near_dup, snapshot_dup, contaminated, split,
-     final_keep)
+     ok_extract, c4_drop, ok_quality, domain_drop, exact_keeper,
+     is_exact_dup, cluster_id, is_near_dup, snapshot_dup, contaminated,
+     split, final_keep)
 
     ``final_keep`` is the conjunction of the funnel gates; ``split`` is
     assigned for every extraction-passing document (so eval-set sizing
@@ -86,6 +89,14 @@ def annotate_corpus(
     wholesale never pays the dedup/decontam shuffles. Disjointness:
     domain_drop is only set on ok_quality docs, and every later flag is
     computed over domain survivors only.
+
+    ``c4`` (optional) runs the C4 heuristic stage
+    (operators/heuristics.py) FIRST, exactly where C4 runs it: line
+    cleaning rewrites ``extracted_text`` for passing docs (so the
+    quality score, content hashes, dedup, and chunking all see the
+    cleaned text) and the document gate folds into the quality gate —
+    a C4-rejected doc fails ok_quality with ``c4_drop`` set (reported
+    as ``n_c4_dropped``: extraction-ok docs rejected by C4).
     """
     from docling_api_spark.operators.decontam import ngram_decontaminate
     from docling_api_spark.operators.dedup import minhash_near_duplicates
@@ -97,6 +108,24 @@ def annotate_corpus(
     # A) extract + quality score, one projection chain off the scan
     keep_cols = [id_col] + ([domain_col] if domain_col else [])
     ext = extract_text_column(docs, keep_cols=keep_cols)
+    if c4:
+        from docling_api_spark.operators.heuristics import c4_clean_lines
+
+        # line cleaning REWRITES the text for passing docs (C4's order:
+        # heuristics before everything downstream); rejected docs keep
+        # the uncleaned text for audit — they never train
+        ext = c4_clean_lines(
+            ext, text_col="extracted_text",
+            min_words=c4_min_words, min_sentences=c4_min_sentences,
+        ).withColumn(
+            "extracted_text",
+            F.when(F.col("c4_keep"), F.col("clean_text"))
+            .otherwise(F.col("extracted_text")),
+        ).drop("clean_text", "n_lines", "n_lines_kept", "n_short_lines",
+               "n_no_terminal_lines", "n_boilerplate_lines",
+               "n_sentences")
+    else:
+        ext = ext.withColumn("c4_keep", F.lit(True))
     q = with_quality_score(ext, text_col="extracted_text")
     base = q.select(
         id_col,
@@ -113,6 +142,11 @@ def annotate_corpus(
         .alias("n_extracted_tokens"),
         "quality_score",
         (F.col("status") == "success").alias("ok_extract"),
+        # C4 rejections are quality failures with their own counter;
+        # only extraction-ok docs count (a failed extraction is not a
+        # C4 verdict)
+        ((F.col("status") == "success") & ~F.col("c4_keep"))
+        .alias("c4_drop"),
         # hashed HERE so the exact-dedup stage reads the 32-byte column
         # off the materialized base instead of re-hashing the full text
         F.sha2("extracted_text", 256).alias("_sha"),
@@ -120,6 +154,7 @@ def annotate_corpus(
         # FALSE, not propagate NULL through the conjunctions downstream
         F.coalesce(
             (F.col("status") == "success")
+            & F.col("c4_keep")
             & (F.col("quality_score") >= quality_floor),
             F.lit(False),
         ).alias("ok_quality"),
@@ -279,6 +314,7 @@ def corpus_funnel(annotated: DataFrame) -> dict:
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("ok_extract").cast("long")).alias("n_extracted"),
         F.sum(F.col("ok_quality").cast("long")).alias("n_quality"),
+        F.sum(F.col("c4_drop").cast("long")).alias("n_c4_dropped"),
         F.sum(F.col("domain_drop").cast("long")).alias("n_domain_dropped"),
         F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dropped"),
         F.sum(F.col("is_near_dup").cast("long")).alias("n_near_dropped"),

@@ -385,3 +385,57 @@ def test_shuffle_shards_wiring(spark):
         spark, docs, eval_docs, ctx_len=64, stride=48, quality_floor=0.0,
     )
     assert "order_shard" not in ex_off.columns
+
+
+def test_c4_stage_wiring(spark):
+    """Opt-in C4 stage: line cleaning rewrites the trained text, the
+    document gate folds into ok_quality with its own disjoint counter,
+    and off-mode is byte-identical to before."""
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    # the extraction kernel collapses single newlines inside a block and
+    # separates markdown blocks with \n\n — so post-extraction, C4's
+    # "line" unit is the block; the test corpus uses paragraph breaks
+    good = (
+        "This is a perfectly fine long sentence ending properly.\n\n"
+        "cookie settings banner line that the cleaner must remove\n\n"
+        "Another suitably long and properly terminated sentence here!\n\n"
+        "A third long sentence keeps the page over the gate easily."
+    )
+    bad = ("word salad with no terminal punctuation on any line\n\n"
+           "more words and still no sentence ending anywhere")
+    docs = spark.createDataFrame(
+        [(1, good), (2, bad), (3, good + "\n\nExtra closing line with "
+                                         "plenty of words right here.")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(9, "nothing leaks")], "doc_id long, text string")
+    annotated, examples, funnel = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, quality_floor=0.0, c4=True,
+    )
+    flags = {r["doc_id"]: r for r in annotated.collect()}
+    assert funnel["n_c4_dropped"] == 1
+    assert flags[2]["c4_drop"] and not flags[2]["ok_quality"]
+    assert not flags[1]["c4_drop"] and flags[1]["ok_quality"]
+    # the boilerplate line is gone from the text every later stage sees
+    assert "cookie" not in flags[1]["extracted_text"]
+    assert flags[2]["extracted_text"].startswith("word salad")  # audit copy
+    # funnel arithmetic still closes (c4 drops live inside n_quality's
+    # complement)
+    assert funnel["n_kept"] == (
+        funnel["n_quality"]
+        - funnel["n_domain_dropped"]
+        - funnel["n_exact_dropped"]
+        - funnel["n_near_dropped"]
+        - funnel["n_snapshot_dropped"]
+        - funnel["n_contaminated"]
+    )
+
+    # off-mode: counter present but zero, text untouched
+    _, _, funnel_off = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, quality_floor=0.0,
+    )
+    assert funnel_off["n_c4_dropped"] == 0
