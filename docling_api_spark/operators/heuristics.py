@@ -37,8 +37,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# C4's terminal punctuation: . ! ? plus closing quote/bracket after one
-TERMINAL_RE = r'[.!?]["\')\]]?[ \t]*$'
+# C4's terminal punctuation: . ! ? plus closing quote/bracket after one.
+# Anchored with Java's \z (ABSOLUTE end) — '$' silently matches before a
+# final line terminator in Java but not Python re, so '$' would classify
+# a CRLF-split "text.\r" line differently across engines (found by the
+# adversarial-batch fuzz). The stray \r of CRLF corpora is consumed as
+# trailing whitespace instead. The Python replica pairs with re's \Z.
+TERMINAL_RE = r'[.!?]["\')\]]?[ \t\r]*\z'
 _BOILER_RE = r"(?i)javascript|cookies? (?:policy|settings|enabled)"
 MIN_WORDS = 5
 MIN_SENTENCES = 3

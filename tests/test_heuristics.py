@@ -7,7 +7,9 @@ from __future__ import annotations
 import re
 
 DOCS = "/root/testdata/sf0.001/documents.parquet"
-_TERM = re.compile(r'[.!?]["\')\]]?[ \t]*$')
+# \Z (absolute end) pairs with the operator's Java \z — Java '$' vs
+# Python '$' disagree before a final \r (see heuristics.TERMINAL_RE)
+_TERM = re.compile(r'[.!?]["\')\]]?[ \t\r]*\Z')
 _BOILER = re.compile(r"(?i)javascript|cookies? (?:policy|settings|enabled)")
 
 
