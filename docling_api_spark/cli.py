@@ -89,6 +89,9 @@ def main(argv: list[str] | None = None) -> None:
                         "windows with exemplar snippets (default: off)")
     r.add_argument("--span-k", type=int, default=20,
                    help="window size for --top-spans")
+    r.add_argument("--top-tokens", type=int, default=0,
+                   help="also report the N most frequent tokens "
+                        "(default: off)")
     r.add_argument("--id-col", default="doc_id")
     k = sub.add_parser("corpus")
     k.add_argument("--input", required=True,
@@ -187,6 +190,15 @@ def main(argv: list[str] | None = None) -> None:
                 for r in frequent_spans(
                     docs, args.id_col, args.text_col,
                     k=args.span_k, top_n=args.top_spans,
+                ).collect()
+            ]
+        if args.top_tokens > 0:
+            from docling_api_spark.operators.profile import top_tokens
+
+            report["top_tokens"] = [
+                [r["token"], int(r["n_occurrences"])]
+                for r in top_tokens(
+                    docs, args.top_tokens, args.text_col
                 ).collect()
             ]
         if args.output:

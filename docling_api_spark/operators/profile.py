@@ -146,3 +146,23 @@ def corpus_report(
     for p in percentiles:
         report[f"tokens_p{p}"] = _hist_percentile(hist, n, p)
     return report
+
+
+def top_tokens(df: DataFrame, n: int = 50,
+               text_col: str = "text") -> DataFrame:
+    """The n most frequent (lowercased, whitespace) tokens:
+    (token, n_occurrences), count-desc with token-asc tie-break (total
+    deterministic order). One explode + one partial-agg groupBy — the
+    Zipf head collapses map-side, so the shuffle carries per-partition
+    distinct tokens, not occurrences; the top-n is a per-partition heap
+    (TakeOrdered), never a full sort."""
+    from docling_api_spark.operators.dedup import _tokens
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(n)
+    )

@@ -137,3 +137,24 @@ def test_report_crafted_and_empty(spark):
     assert withnull["n_docs"] == 2
     assert withnull["tokens_min"] == 1  # split("") == [""] -> 1 token
     assert withnull["n_chars_total"] == 20
+
+
+def test_top_tokens_match_replica(spark):
+    from collections import Counter
+
+    from docling_api_spark.operators.profile import top_tokens
+    from tests.oracles import java_ws_split
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    got = [(r["token"], int(r["n_occurrences"]))
+           for r in top_tokens(docs, 25).collect()]
+    c = Counter()
+    for r in docs.collect():
+        if r["text"] is not None:
+            c.update(java_ws_split(r["text"].lower()))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert got == want
+    # deterministic under repartitioning
+    got2 = [(r["token"], int(r["n_occurrences"]))
+            for r in top_tokens(docs.repartition(13), 25).collect()]
+    assert got2 == got
