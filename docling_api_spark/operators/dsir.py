@@ -17,7 +17,11 @@ exact long (bit-identical at any parallelism; the class-prior term
 shifts every document equally and cannot change the selection).
 
 Determinism: the Gumbel noise is HASH-derived, not random —
-u = (xxhash64(salt, id) mod 2^53 + 1) / (2^53 + 1) ∈ (0,1),
+u = (xxhash64(salt, id) mod 2^40 + 1) / (2^40 + 1) ∈ (0,1) STRICTLY
+(numerator ≤ 2^40 and denominator are both exactly representable
+doubles, so u is one correctly-rounded division on both engines and
+can never round to 0.0 or 1.0 — a 2^53-grained u could: float(2^53+1)
+IS 2^53, making u = 1.0 reachable and g = +Inf),
 g = -log(-log(u)) — a per-row pure double of the document id. The
 selection key (score/temperature + g, tie-broken by id) is therefore a
 pure function of (corpus, seeds, salt): the same inputs select the same
@@ -39,7 +43,8 @@ from pyspark.sql import functions as F
 
 from .classifier import N_BUCKETS, WEIGHT_SCALE, nb_score, nb_train
 
-_U_DEN = float((1 << 53) + 1)
+_U_BITS = 40  # see module docstring: exact-representability bound
+_U_DEN = float((1 << _U_BITS) + 1)
 
 
 def dsir_importance(corpus: DataFrame, target: DataFrame, raw: DataFrame,
@@ -70,7 +75,7 @@ def gumbel_key(id_col_expr, score_scaled_expr, scale: int,
     deterministic)."""
     u = (
         (F.pmod(F.xxhash64(F.lit(salt), id_col_expr),
-                F.lit(1 << 53).cast("long")) + 1).cast("double")
+                F.lit(1 << _U_BITS).cast("long")) + 1).cast("double")
         / F.lit(_U_DEN)
     )
     g = -F.log(-F.log(u))

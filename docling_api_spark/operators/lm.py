@@ -193,6 +193,12 @@ def perplexity_buckets(scored: DataFrame, meta: dict,
     sit at coarse-key granularity, so sizes match the requested
     fractions only up to key ties — the deterministic trade, documented.
     """
+    if not (0 < frac_head and 0 <= frac_middle
+            and frac_head + frac_middle <= 1):
+        raise ValueError(
+            "perplexity_buckets: need 0 < frac_head, 0 <= frac_middle, "
+            "frac_head + frac_middle <= 1 (a zero head would silently "
+            "mislabel the top key)")
     # per-token avg log-prob in coarse units; Spark `div` truncates
     # toward zero (verified) — the pytest replica mirrors exactly that
     step = max(1, meta["scale"] // granularity)

@@ -155,12 +155,15 @@ def top_tokens(df: DataFrame, n: int = 50,
     deterministic order). One explode + one partial-agg groupBy — the
     Zipf head collapses map-side, so the shuffle carries per-partition
     distinct tokens, not occurrences; the top-n is a per-partition heap
-    (TakeOrdered), never a full sort."""
+    (TakeOrdered), never a full sort. Empty/whitespace-only documents
+    tokenize to one '' token (split semantics) — filtered, it is not a
+    word and would pollute the user-facing report."""
     from docling_api_spark.operators.dedup import _tokens
 
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("token"))

@@ -45,11 +45,18 @@ def gate_batch(batch: DataFrame, weights: DataFrame, meta: dict,
     """One batch through the gate chain — the SAME code batch and
     streaming callers run. Returns (annotated, gate_cols): every input
     row with per-gate verdict columns plus ``gate_keep`` (their
-    conjunction); gate order C4 -> classifier -> LM, later gates
-    evaluated on all rows (the funnel counts are per-gate marginals,
-    the conjunction is the decision)."""
-    out = batch
-    gates = []
+    conjunction); gate order validity -> C4 -> classifier -> LM, later
+    gates evaluated on all rows (the funnel counts are per-gate
+    marginals, the conjunction is the decision)."""
+    if lm_model is not None and max_perplexity is None:
+        raise ValueError(
+            "gate_batch: lm_model given without max_perplexity — the LM "
+            "gate needs its threshold")
+    # validity first: the batch pipeline blocks NULL payloads via
+    # ok_extract; without this a NULL-text row would ride the
+    # classifier's prior-only score straight into the kept corpus
+    out = batch.withColumn("gate_valid", F.col(text_col).isNotNull())
+    gates = ["gate_valid"]
     if c4:
         from docling_api_spark.operators.heuristics import c4_document_flags
 

@@ -100,8 +100,19 @@ def stage(sf_dir: str) -> None:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    if not os.path.exists(f"{STAGE}/meta.json"):
+    # staging cache keyed on the staging CONFIG, not mere existence — a
+    # REPLICAS/sf_dir change must re-stage or the timings would be
+    # measured on stale input while the JSON records the new constants
+    cfg = {"replicas": REPLICAS, "sf_dir": sf_dir}
+    cfg_path = f"{STAGE}/stage_config.json"
+    cached = None
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cached = json.load(f)
+    if cached != cfg or not os.path.exists(f"{STAGE}/meta.json"):
         stage(sf_dir)
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
     snippet = _RUN_SNIPPET.format(repo=str(REPO), stage=STAGE)
     results: dict[int, dict[str, list[float]]] = {
         lv: {"nb_score": [], "embeddings": []} for lv in LEVELS}

@@ -1,8 +1,10 @@
 """DSIR selection vs a first-principles replica: the Gumbel key
 recomputed from the pure-Python xxhash64 and the Spark-trained weight
-table (scores replicate exactly, keys bitwise via identical IEEE ops),
-selection-shift sanity (target-like docs overrepresented), salt
-independence, and parallelism invariance."""
+table (u's division is correctly rounded on both engines, but the two
+nested logs are libm calls — compared with relative tolerance, matching
+the repo's documented Math.log-vs-math.log ulp posture), selection-shift
+sanity (target-like docs overrepresented), salt independence, and
+parallelism invariance."""
 
 from __future__ import annotations
 
@@ -11,7 +13,8 @@ import math
 from tests.oracles import SPARK_SEED, _signed, _xxh64_long, xxh64_bytes
 
 V, SCALE = 1 << 12, 1 << 20
-_U_DEN = float((1 << 53) + 1)
+_U_BITS = 40
+_U_DEN = float((1 << _U_BITS) + 1)
 
 TARGETY = [
     "the spark planner prunes columns and pushes filters to the scan "
@@ -35,7 +38,8 @@ def _hash_str_long(s: str, v: int) -> int:
 
 def py_gumbel_key(doc_id: int, score_scaled: int, scale=SCALE,
                   temperature=1.0, salt="dsir") -> float:
-    u = (_hash_str_long(salt, doc_id) % (1 << 53) + 1) / _U_DEN
+    u = (_hash_str_long(salt, doc_id) % (1 << _U_BITS) + 1) / _U_DEN
+    assert 0.0 < u < 1.0
     g = -math.log(-math.log(u))
     return score_scaled / (float(scale) * float(temperature)) + g
 
@@ -67,7 +71,11 @@ def test_selection_matches_replica(spark):
                                 n_buckets=V, scale=SCALE).collect()]
     want_keys = {i: py_gumbel_key(i, s) for i, s in scores.items()}
     want = sorted(want_keys.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    assert [(i, want_keys[i]) for i, _ in want] == got
+    # same ids in the same order; keys to relative tolerance (the two
+    # nested libm logs may differ by an ulp between JVM and CPython)
+    assert [i for i, _ in want] == [i for i, _ in got]
+    for (i, wk), (_, gk) in zip(want, got):
+        assert abs(gk - wk) <= 1e-9 * max(1.0, abs(wk)), i
 
 
 def test_selection_shifts_toward_target(spark):

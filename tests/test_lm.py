@@ -247,3 +247,18 @@ def test_buckets_order_matches_perplexity(spark):
     tail = [r["perplexity"] for r in rows if r["ppl_bucket"] == "tail"]
     assert head and tail
     assert max(head) <= min(tail) * 1.02  # granularity slack
+
+
+def test_bucket_frac_validation(spark):
+    import pytest
+
+    from docling_api_spark.operators.lm import (
+        perplexity_buckets, score_lm, train_lm)
+
+    train_df, held_df, _, _ = _split(spark)
+    model = train_lm(train_df, n_buckets=V, scale=SCALE)
+    scored = score_lm(held_df, *model)
+    for fh, fm in ((0.0, 0.5), (0.7, 0.5), (0.5, -0.1)):
+        with pytest.raises(ValueError):
+            perplexity_buckets(scored, model[2], frac_head=fh,
+                               frac_middle=fm)

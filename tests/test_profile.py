@@ -151,7 +151,7 @@ def test_top_tokens_match_replica(spark):
     c = Counter()
     for r in docs.collect():
         if r["text"] is not None:
-            c.update(java_ws_split(r["text"].lower()))
+            c.update(t for t in java_ws_split(r["text"].lower()) if t)
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
     assert got == want
     # deterministic under repartitioning

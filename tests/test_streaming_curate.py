@@ -92,7 +92,30 @@ def test_c4_gate_column_present(spark, tmp_path):
         "doc_id long, text string",
     )
     ann, gates = gate_batch(docs, weights, meta, c4=True)
-    assert gates[0] == "gate_c4"
+    assert gates[:2] == ["gate_valid", "gate_c4"]
     rows = {int(r["doc_id"]): r for r in ann.collect()}
     assert rows[1]["gate_c4"] and not rows[2]["gate_c4"]
     assert not rows[2]["gate_keep"]
+
+
+def test_null_text_never_kept_and_lm_needs_threshold(spark):
+    import pytest
+
+    from docling_api_spark.streaming.curate import gate_batch
+
+    weights, meta, lm = _models(spark)
+    # a seed split with more positives than negatives -> positive prior,
+    # the exact configuration where an ungated NULL row would slip in
+    assert meta["n_pos"] > meta["n_neg"]
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a perfectly ordinary document body")],
+        "doc_id long, text string",
+    )
+    ann, gates = gate_batch(docs, weights, meta)
+    assert gates[0] == "gate_valid"
+    rows = {int(r["doc_id"]): r for r in ann.collect()}
+    assert not rows[1]["gate_valid"] and not rows[1]["gate_keep"]
+    assert rows[2]["gate_valid"]
+
+    with pytest.raises(ValueError, match="max_perplexity"):
+        gate_batch(docs, weights, meta, lm_model=lm)
