@@ -439,3 +439,92 @@ def test_c4_stage_wiring(spark):
         spark, docs, eval_docs, ctx_len=64, quality_floor=0.0,
     )
     assert funnel_off["n_c4_dropped"] == 0
+
+
+def test_all_stages_enabled_together(spark, tmp_path):
+    """The maximal recipe — C4 + domain policy + cross-snapshot index +
+    span dedup + training-order shuffle all on at once: stages compose,
+    the funnel closes with every counter present, and the run is
+    deterministic end-to-end."""
+    from docling_api_spark.operators.dedup import signature_index
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    # unique tokens every 2-3 positions so no 8-gram is shared between
+    # DIFFERENT ranges (a constant template would share grams with the
+    # eval set and decontaminate the whole corpus)
+    sent = ("Topic t%d covers idea i%d with angle a%d and detail "
+            "d%d today.")
+    body = lambda a, b: "\n\n".join(
+        sent % (i, i, i, i) for i in range(a, b))
+    shared = ("A shared boilerplate passage of exactly enough tokens "
+              "to form one duplicated span across many documents easily. "
+              * 2).strip()
+    docs = spark.createDataFrame(
+        [
+            # healthy domain, unique docs; 31/32 carry the shared span
+            *[(i, body(i * 10, i * 10 + 6) + "\n\n" + shared + ".",
+               "good.org") for i in range(1, 7)],
+            (7, body(900, 908), "good.org"),
+            # C4 reject (word salad, no terminal punctuation)
+            (20, "salad words no punctuation here at all\n\nstill none",
+             "good.org"),
+            # blocklisted domain
+            (21, body(100, 106), "evil.x"),
+            # exact dup pair inside the healthy domain
+            (22, body(200, 206), "good.org"),
+            (23, body(200, 206), "good.org"),
+            # snapshot dup (same text as a previous crawl's doc)
+            (24, body(300, 306), "good.org"),
+            # eval leak
+            (25, body(400, 406), "good.org"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    prev = spark.createDataFrame(
+        [(90001, body(300, 306))], "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(80001, body(400, 406))], "doc_id long, text string")
+    bl = spark.createDataFrame([("evil.x",)], "domain string")
+    index = signature_index(prev).localCheckpoint(eager=True)
+
+    def run():
+        return build_training_examples(
+            spark, docs, eval_docs, ctx_len=32, quality_floor=0.0,
+            near_threshold=0.9, decontam_n=8,
+            c4=True, c4_min_words=5, c4_min_sentences=3,
+            domain_col="source", domain_blocklist=bl,
+            snapshot_index=index, snapshot_threshold=0.9,
+            span_k=12, shuffle_shards=2,
+        )
+
+    annotated, examples, funnel = run()
+    flags = {r["doc_id"]: r for r in annotated.collect()}
+    assert flags[20]["c4_drop"] and not flags[20]["ok_quality"]
+    assert flags[21]["domain_drop"]
+    assert flags[23]["is_exact_dup"] and flags[23]["exact_keeper"] == 22
+    assert flags[24]["snapshot_dup"]
+    assert flags[25]["contaminated"]
+    # every drop flag disjoint; funnel closes
+    assert funnel["n_c4_dropped"] == 1
+    assert funnel["n_domain_dropped"] == 1
+    assert funnel["n_kept"] == (
+        funnel["n_quality"] - funnel["n_domain_dropped"]
+        - funnel["n_exact_dropped"] - funnel["n_near_dropped"]
+        - funnel["n_snapshot_dropped"] - funnel["n_contaminated"]
+    )
+    assert funnel["n_span_docs_cut"] >= 1  # the shared passage was cut
+    ex = examples.collect()
+    assert funnel["n_chunks"] == len(ex)
+    assert {"order_shard", "order_pos"} <= set(examples.columns)
+    # the duplicated span survives in at most one kept doc's chunks
+    span_docs = {r["doc_id"] for r in ex
+                 if "shared boilerplate passage" in r["chunk_text"]}
+    assert len(span_docs) <= 1
+
+    # end-to-end determinism of the maximal recipe
+    annotated2, examples2, funnel2 = run()
+    assert funnel2 == funnel
+    assert sorted(map(tuple, ex)) == sorted(
+        map(tuple, examples2.collect()))
