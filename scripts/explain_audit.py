@@ -153,6 +153,19 @@ def _build_profile(spark, sf_dir):
     )
 
 
+def _build_dsir(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.dsir import dsir_select
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return dsir_select(
+        d, d.filter("doc_id % 7 = 0"), d.filter("doc_id % 7 = 1"), k=100
+    )
+
+
 def _build_hashed_embeddings(spark, sf_dir):
     from docling_api_spark.operators.embedding import hashed_embeddings
 
@@ -265,6 +278,15 @@ EXTRA_CHECKS = {
                 "key (text dedups via 32-byte sha2 inside the agg, never "
                 "shuffles); the per-domain verdict table (#domains rows) "
                 "BROADCASTS back onto the corpus",
+    },
+    "dsir_select": {
+        "build": _build_dsir,
+        "must": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        "must_not": ["SortMergeJoin", "CartesianProduct"],
+        "note": "Gumbel-top-k selection is per-partition heaps + a "
+                "k-row driver merge (TakeOrderedAndProject) on top of "
+                "the classifier's broadcast scoring pass — never a "
+                "corpus-wide sort",
     },
     "hashed_text_embeddings": {
         "build": _build_hashed_embeddings,

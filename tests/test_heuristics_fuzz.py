@@ -69,3 +69,39 @@ def test_features_and_embedding_match_replica_on_adversarial_batch(spark):
     got_e = {int(r["doc_id"]): list(r["embedding_int"])
              for r in hashed_embeddings(df).collect()}
     assert got_e == {i: py_embed(t) for i, t in rows}
+
+
+def test_lm_pairs_and_domain_tokens_match_replica_on_adversarial_batch(
+        spark):
+    from docling_api_spark.operators.domains import domain_stats
+    from docling_api_spark.operators.lm import _pair_stream
+    from tests.oracles import java_ws_split, spark_xxhash64
+
+    V = 1 << 12
+    rows = _gen_texts(n=150, seed=23)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got_p = {}
+    for r in _pair_stream(df, "doc_id", "text", V).collect():
+        got_p.setdefault(int(r["doc_id"]), []).append(
+            (r["prev"], r["cur"]))
+    for i, t in rows:
+        if t is None:
+            assert got_p[i] == [(None, None)], i
+            continue
+        tb = [spark_xxhash64(w) % V for w in java_ws_split(t.lower())]
+        want = list(zip([V] + tb[:-1], tb))
+        assert got_p[i] == want, (i, repr(t))
+
+    # domain token totals over the same adversarial corpus, one domain
+    # per parity bucket
+    dom = df.withColumn(
+        "source", (df.doc_id % 3).cast("string"))
+    got_d = {r["domain"]: r["total_tokens"]
+             for r in domain_stats(dom).collect()}
+    want_d = {}
+    for i, t in rows:
+        k = str(i % 3)
+        n = len(java_ws_split(t.lower())) if t is not None else 0
+        want_d[k] = want_d.get(k, 0) + n
+    assert got_d == want_d
