@@ -26,6 +26,9 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
            writes annotated/ and examples/ parquet plus
            funnel.json, prints the funnel)
 
+Every --input-bearing subcommand also accepts ``--input-format jsonl``
+(one JSON document per line — the shape crawl dumps land in).
+
 Benchmarks live in bench.py at the repo root (not a subcommand here).
 """
 
@@ -36,12 +39,29 @@ import json
 import sys
 
 
+def _read_input(spark, path: str, fmt: str):
+    """--input reader: parquet (default) or jsonl (the shape crawl dumps
+    actually land in — one JSON object per line; schema inferred, which
+    costs one extra read pass at ingestion only)."""
+    if fmt == "jsonl":
+        return spark.read.json(path)
+    return spark.read.parquet(path)
+
+
+def _add_input_format(sp) -> None:
+    sp.add_argument("--input-format", default="parquet",
+                    choices=("parquet", "jsonl"),
+                    help="format of --input (jsonl = one JSON doc per "
+                         "line)")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="docling_api_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("run", "resume"):
         r = sub.add_parser(name)
         r.add_argument("--input", required=True)
+        _add_input_format(r)
         r.add_argument("--output", required=True)
         r.add_argument("--snapshot", default="snap-0")
         r.add_argument("--buckets", type=int, default=64)
@@ -66,6 +86,7 @@ def main(argv: list[str] | None = None) -> None:
                         "(possibly in-flight) runs — asserts no runs are "
                         "currently in flight")
     d = sub.add_parser("dedup-index")
+    _add_input_format(d)
     d.add_argument("--input", required=True,
                    help="parquet of the new ingest batch (id + text)")
     d.add_argument("--index", required=True,
@@ -77,6 +98,7 @@ def main(argv: list[str] | None = None) -> None:
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--text-col", default="text")
     r = sub.add_parser("report")
+    _add_input_format(r)
     r.add_argument("--input", required=True,
                    help="parquet of documents to profile")
     r.add_argument("--output", default=None,
@@ -94,6 +116,7 @@ def main(argv: list[str] | None = None) -> None:
                         "(default: off)")
     r.add_argument("--id-col", default="doc_id")
     k = sub.add_parser("corpus")
+    _add_input_format(k)
     k.add_argument("--input", required=True,
                    help="parquet of raw documents (id + payload text)")
     k.add_argument("--eval", required=True, dest="evalset",
@@ -149,7 +172,7 @@ def main(argv: list[str] | None = None) -> None:
         from docling_api_spark.extraction.kernel import ExtractOptions
         from docling_api_spark.plans.pipeline import run_extraction
 
-        transcripts = spark.read.parquet(args.input)
+        transcripts = _read_input(spark, args.input, args.input_format)
         summary = run_extraction(
             spark, transcripts, args.output, snapshot_id=args.snapshot,
             n_buckets=args.buckets, limit_buckets=args.limit_buckets,
@@ -172,7 +195,7 @@ def main(argv: list[str] | None = None) -> None:
         from docling_api_spark.plans.dedup_index import update_index
 
         summary = update_index(
-            spark, spark.read.parquet(args.input), args.index,
+            spark, _read_input(spark, args.input, args.input_format), args.index,
             id_col=args.id_col, text_col=args.text_col,
             threshold=args.threshold, matches_out=args.matches_out,
         )
@@ -180,7 +203,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "report":
         from docling_api_spark.operators.profile import corpus_report
 
-        docs = spark.read.parquet(args.input)
+        docs = _read_input(spark, args.input, args.input_format)
         report = corpus_report(docs, text_col=args.text_col, rsd=args.rsd)
         if args.top_spans > 0:
             from docling_api_spark.operators.spandedup import frequent_spans
@@ -231,7 +254,7 @@ def main(argv: list[str] | None = None) -> None:
             blocklist = spark.createDataFrame(domains, "domain string")
         annotated, examples, funnel = build_training_examples(
             spark,
-            spark.read.parquet(args.input),
+            _read_input(spark, args.input, args.input_format),
             spark.read.parquet(args.evalset),
             ctx_len=args.ctx_len,
             stride=args.stride,
