@@ -198,6 +198,38 @@ def connected_components(
     )
 
 
+def select_keepers(clusters: DataFrame, scores: DataFrame,
+                   id_col: str = "id", cluster_col: str = "comp",
+                   score_col: str = "score") -> DataFrame:
+    """Quality-aware keeper selection: per cluster keep the member with
+    the HIGHEST score, ties broken by minimum id (production pipelines
+    keep the best copy of a duplicate group, not the first-crawled one —
+    min-id keeping throws away the cleanest mirror whenever it was
+    crawled later). Returns (id, cluster, keep).
+
+    Determinism under ties: the argmax is one ``max`` over
+    struct(score, -id) — struct comparison is lexicographic, and long
+    max is associative, so the winner is a pure function of the set, at
+    any parallelism (``max_by`` would be tie-nondeterministic). Members
+    absent from ``scores`` carry a NULL score, which sorts below every
+    real score in the struct max — they can only win in a fully
+    unscored cluster, where the -id tie-break degrades the whole
+    selection to min-id keeping (tested).
+    """
+    j = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("_s")),
+        id_col, "left",
+    )
+    winners = j.groupBy(cluster_col).agg(
+        F.max(F.struct(F.col("_s").alias("s"),
+                       (-F.col(id_col)).alias("ni"))).alias("_w"),
+    ).select(cluster_col, (-F.col("_w.ni")).alias("_keeper"))
+    return j.join(winners, cluster_col).select(
+        id_col, cluster_col,
+        (F.col(id_col) == F.col("_keeper")).alias("keep"),
+    )
+
+
 def cluster_assignments(
     edges: DataFrame,
     src: str = "id_a",
