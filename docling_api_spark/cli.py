@@ -44,7 +44,10 @@ def _read_input(spark, path: str, fmt: str):
     actually land in — one JSON object per line; schema inferred, which
     costs one extra read pass at ingestion only)."""
     if fmt == "jsonl":
-        return spark.read.json(path)
+        # FAILFAST, not the PERMISSIVE default: a truncated crawl line
+        # would otherwise become a silent all-null row (plus an injected
+        # _corrupt_record column) and flow into the funnel as fake data
+        return spark.read.option("mode", "FAILFAST").json(path)
     return spark.read.parquet(path)
 
 
@@ -120,8 +123,11 @@ def main(argv: list[str] | None = None) -> None:
     k.add_argument("--input", required=True,
                    help="parquet of raw documents (id + payload text)")
     k.add_argument("--eval", required=True, dest="evalset",
-                   help="parquet of held-out eval documents to "
-                        "decontaminate against")
+                   help="held-out eval documents to decontaminate "
+                        "against")
+    k.add_argument("--eval-format", default="parquet",
+                   choices=("parquet", "jsonl"),
+                   help="format of --eval")
     k.add_argument("--output", required=True,
                    help="writes <output>/annotated, <output>/examples "
                         "parquet and <output>/funnel.json")
@@ -255,7 +261,7 @@ def main(argv: list[str] | None = None) -> None:
         annotated, examples, funnel = build_training_examples(
             spark,
             _read_input(spark, args.input, args.input_format),
-            spark.read.parquet(args.evalset),
+            _read_input(spark, args.evalset, args.eval_format),
             ctx_len=args.ctx_len,
             stride=args.stride,
             id_col=args.id_col,

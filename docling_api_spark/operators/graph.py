@@ -214,10 +214,16 @@ def select_keepers(clusters: DataFrame, scores: DataFrame,
     absent from ``scores`` carry a NULL score, which sorts below every
     real score in the struct max — they can only win in a fully
     unscored cluster, where the -id tie-break degrades the whole
-    selection to min-id keeping (tested).
+    selection to min-id keeping (tested). NaN scores are folded to NULL
+    before the max — Spark orders NaN ABOVE every real double, so an
+    un-guarded NaN (a 0/0 upstream) would crown the junk copy.
     """
     j = clusters.join(
-        scores.select(F.col(id_col), F.col(score_col).alias("_s")),
+        scores.select(
+            F.col(id_col),
+            F.nanvl(F.col(score_col),
+                    F.lit(None).cast("double")).alias("_s"),
+        ),
         id_col, "left",
     )
     winners = j.groupBy(cluster_col).agg(

@@ -219,11 +219,9 @@ def fingerprint64(texts: pd.Series) -> pd.Series:
 # a StructType object, NOT a DDL string: the decorator parses DDL at
 # import time, which requires an active SparkSession (the module must
 # import session-free, e.g. under pytest collection)
-from pyspark.sql import types as _T  # noqa: E402  (local to this block)
-
-_ZLIB_SCHEMA = _T.StructType([
-    _T.StructField("n_bytes", _T.LongType()),
-    _T.StructField("n_compressed", _T.LongType()),
+_ZLIB_SCHEMA = T.StructType([
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("n_compressed", T.LongType()),
 ])
 
 

@@ -463,7 +463,8 @@ def test_all_stages_enabled_together(spark, tmp_path):
               * 2).strip()
     docs = spark.createDataFrame(
         [
-            # healthy domain, unique docs; 31/32 carry the shared span
+            # healthy domain, unique docs; 6 of these 7 carry the
+            # shared passage (doc 7 does not)
             *[(i, body(i * 10, i * 10 + 6) + "\n\n" + shared + ".",
                "good.org") for i in range(1, 7)],
             (7, body(900, 908), "good.org"),

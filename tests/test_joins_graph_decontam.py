@@ -572,3 +572,17 @@ def test_select_keepers_quality_aware(spark):
                 clusters.repartition(7), scores.repartition(3)
             ).collect()}
     assert got2 == got
+
+
+def test_select_keepers_nan_never_wins(spark):
+    """NaN sorts ABOVE every real double in Spark — folded to NULL so a
+    0/0-scored junk copy can never be crowned keeper."""
+    from docling_api_spark.operators.graph import select_keepers
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id long, comp long")
+    scores = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.4)], "id long, score double")
+    got = {int(r["id"]): bool(r["keep"])
+           for r in select_keepers(clusters, scores).collect()}
+    assert got == {1: False, 2: True}
