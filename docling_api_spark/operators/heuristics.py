@@ -124,3 +124,44 @@ def c4_document_flags(df: DataFrame, text_col: str = "text",
     full = c4_clean_lines(df, text_col, min_words, min_sentences)
     return full.drop("clean_text", "n_lines", "n_short_lines",
                      "n_no_terminal_lines", "n_boilerplate_lines")
+
+
+def dedup_paragraphs_within_doc(df: DataFrame, text_col: str = "text",
+                                out_col: str = "para_deduped_text"
+                                ) -> DataFrame:
+    """IN-document paragraph dedup: a page's nav menu / footer / cookie
+    banner often repeats VERBATIM inside one document (template engines
+    emit it per section) — spandedup.py cuts passages duplicated ACROSS
+    documents, this cuts exact repeats WITHIN one. First occurrence
+    kept in place, later byte-identical paragraphs dropped
+    (order-preserving), counters exact. One shuffle-free codegen
+    projection: split('\\n') -> positional filter against the first
+    index of each line (no Python, fuses into the feeding scan).
+    NULL text passes through NULL. Cost is O(P²) comparisons per doc in
+    P = paragraph count — tens of blocks, not thousands; the linear
+    alternative (explode + first-occurrence window) buys a shuffle per
+    document instead."""
+    lines = F.split(F.col(text_col), "\n")
+    # keep position i iff it is the FIRST occurrence of its line;
+    # array_position returns the 1-based first index (exact equality —
+    # this is byte-grain dedup, whitespace variants are distinct)
+    kept = F.filter(
+        lines,
+        lambda ln, i: F.array_position(lines, ln) == i + 1,
+    )
+    return (
+        df.withColumn(
+            out_col,
+            F.when(F.col(text_col).isNotNull(), F.array_join(kept, "\n")),
+        )
+        .withColumn(
+            "n_paras",
+            F.when(F.col(text_col).isNotNull(), F.size(lines))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "n_paras_dropped",
+            F.when(F.col(text_col).isNotNull(),
+                   F.size(lines) - F.size(kept)).otherwise(F.lit(0)),
+        )
+    )

@@ -134,3 +134,37 @@ def test_flags_variant_and_invariance(spark):
         )
 
     assert run(docs.repartition(1)) == run(docs.repartition(11))
+
+
+def test_dedup_paragraphs_within_doc(spark):
+    from docling_api_spark.operators.heuristics import (
+        dedup_paragraphs_within_doc)
+
+    cases = [
+        (1, "menu\nbody one\nmenu\nbody two\nmenu\nfooter\nfooter"),
+        (2, "unique one\nunique two"),
+        (3, "same\nsame\nsame"),
+        (4, None),
+        (5, ""),
+        (6, "a\n a\na "),  # whitespace variants are DISTINCT (byte grain)
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {int(r["doc_id"]):
+           (r["para_deduped_text"], r["n_paras"], r["n_paras_dropped"])
+           for r in dedup_paragraphs_within_doc(df).collect()}
+
+    def py(t):
+        if t is None:
+            return (None, 0, 0)
+        seen, kept = set(), []
+        ls = t.split("\n")
+        for ln in ls:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        return ("\n".join(kept), len(ls), len(ls) - len(kept))
+
+    for i, t in cases:
+        assert got[i] == py(t), i
+    assert got[1][0] == "menu\nbody one\nbody two\nfooter"
+    assert got[6][2] == 0
