@@ -15,7 +15,8 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
            language distribution, duplicate-rate estimate)
   corpus  --input <docs parquet> --eval <eval parquet> --output <dir>
           (full training-corpus build: extract ->
-           [--c4: heuristic line cleaning + doc gate] -> quality ->
+           [--c4: heuristic line cleaning + doc gate] ->
+           [--langs: language allow-set gate] -> quality ->
            [--domain-col: per-source policy gate, with --blocklist /
            --domain-min-docs / --domain-max-dup-rate /
            --domain-min-quality] -> dedup ->
@@ -158,6 +159,9 @@ def main(argv: list[str] | None = None) -> None:
                         "document gate folds into the quality gate")
     k.add_argument("--c4-min-words", type=int, default=5)
     k.add_argument("--c4-min-sentences", type=int, default=3)
+    k.add_argument("--langs", default=None,
+                   help="comma-separated language allow-set (heuristic "
+                        "lang-ID gate folds into the quality gate)")
     k.add_argument("--domain-min-docs", type=int, default=1)
     k.add_argument("--domain-max-dup-rate", type=float, default=None)
     k.add_argument("--domain-min-quality", type=float, default=None)
@@ -276,6 +280,8 @@ def main(argv: list[str] | None = None) -> None:
             c4=args.c4,
             c4_min_words=args.c4_min_words,
             c4_min_sentences=args.c4_min_sentences,
+            langs=(tuple(s.strip() for s in args.langs.split(","))
+                   if args.langs else None),
             domain_col=args.domain_col,
             domain_blocklist=blocklist,
             domain_min_docs=args.domain_min_docs,

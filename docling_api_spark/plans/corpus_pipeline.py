@@ -59,13 +59,14 @@ def annotate_corpus(
     c4: bool = False,
     c4_min_words: int = 5,
     c4_min_sentences: int = 3,
+    langs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """One row per input document carrying every stage's verdict:
 
     (id_col, status, extracted_text, n_extracted_tokens, quality_score,
-     ok_extract, c4_drop, ok_quality, domain_drop, exact_keeper,
-     is_exact_dup, cluster_id, is_near_dup, snapshot_dup, contaminated,
-     split, final_keep)
+     ok_extract, c4_drop, lang_drop, ok_quality, domain_drop,
+     exact_keeper, is_exact_dup, cluster_id, is_near_dup, snapshot_dup,
+     contaminated, split, final_keep)
 
     ``final_keep`` is the conjunction of the funnel gates; ``split`` is
     assigned for every extraction-passing document (so eval-set sizing
@@ -97,6 +98,13 @@ def annotate_corpus(
     cleaned text) and the document gate folds into the quality gate —
     a C4-rejected doc fails ok_quality with ``c4_drop`` set (reported
     as ``n_c4_dropped``: extraction-ok docs rejected by C4).
+
+    ``langs`` (optional) is the CCNet-style per-language gate: the
+    heuristic language ID (textstats.with_lang_id) runs on the
+    (possibly C4-cleaned) extracted text and documents predicted
+    outside the allow-set fold into the quality gate with their own
+    ``lang_drop`` flag / ``n_lang_dropped`` counter (a real pipeline
+    then runs one LM/classifier per language downstream).
     """
     from docling_api_spark.operators.decontam import ngram_decontaminate
     from docling_api_spark.operators.dedup import minhash_near_duplicates
@@ -126,6 +134,14 @@ def annotate_corpus(
                "n_sentences")
     else:
         ext = ext.withColumn("c4_keep", F.lit(True))
+    if langs:
+        from docling_api_spark.operators.textstats import with_lang_id
+
+        ext = with_lang_id(ext, text_col="extracted_text").withColumn(
+            "lang_keep", F.col("lang_pred").isin(list(langs))
+        ).drop("lang_pred")
+    else:
+        ext = ext.withColumn("lang_keep", F.lit(True))
     q = with_quality_score(ext, text_col="extracted_text")
     base = q.select(
         id_col,
@@ -147,6 +163,9 @@ def annotate_corpus(
         # C4 verdict)
         ((F.col("status") == "success") & ~F.col("c4_keep"))
         .alias("c4_drop"),
+        # language rejections gate AFTER C4 (disjoint: only C4 keepers)
+        ((F.col("status") == "success") & F.col("c4_keep")
+         & ~F.col("lang_keep")).alias("lang_drop"),
         # hashed HERE so the exact-dedup stage reads the 32-byte column
         # off the materialized base instead of re-hashing the full text
         F.sha2("extracted_text", 256).alias("_sha"),
@@ -155,6 +174,7 @@ def annotate_corpus(
         F.coalesce(
             (F.col("status") == "success")
             & F.col("c4_keep")
+            & F.col("lang_keep")
             & (F.col("quality_score") >= quality_floor),
             F.lit(False),
         ).alias("ok_quality"),
@@ -315,6 +335,7 @@ def corpus_funnel(annotated: DataFrame) -> dict:
         F.sum(F.col("ok_extract").cast("long")).alias("n_extracted"),
         F.sum(F.col("ok_quality").cast("long")).alias("n_quality"),
         F.sum(F.col("c4_drop").cast("long")).alias("n_c4_dropped"),
+        F.sum(F.col("lang_drop").cast("long")).alias("n_lang_dropped"),
         F.sum(F.col("domain_drop").cast("long")).alias("n_domain_dropped"),
         F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dropped"),
         F.sum(F.col("is_near_dup").cast("long")).alias("n_near_dropped"),

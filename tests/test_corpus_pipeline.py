@@ -529,3 +529,39 @@ def test_all_stages_enabled_together(spark, tmp_path):
     assert funnel2 == funnel
     assert sorted(map(tuple, ex)) == sorted(
         map(tuple, examples2.collect()))
+
+
+def test_lang_gate_wiring(spark):
+    """Opt-in language gate: out-of-set docs fold into the quality gate
+    with a disjoint counter; off-mode leaves everything kept."""
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the model and the data with the features of the run "
+                "and the rest of the words in the text"),   # en
+            (2, "质量 数据 模型 训练 语料 清洗 去重 分词"),        # zh
+            (3, "xyzzy plugh qwerty assembler bitmask voxel"),  # und
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(9, "nothing leaks")], "doc_id long, text string")
+    annotated, _, funnel = build_training_examples(
+        spark, docs, eval_docs, ctx_len=32, quality_floor=0.0,
+        langs=("en",),
+    )
+    flags = {r["doc_id"]: r for r in annotated.collect()}
+    assert not flags[1]["lang_drop"] and flags[1]["ok_quality"]
+    assert flags[2]["lang_drop"] and not flags[2]["ok_quality"]
+    assert flags[3]["lang_drop"] and not flags[3]["ok_quality"]
+    assert funnel["n_lang_dropped"] == 2
+    assert funnel["n_kept"] == 1
+
+    _, _, funnel_off = build_training_examples(
+        spark, docs, eval_docs, ctx_len=32, quality_floor=0.0,
+    )
+    assert funnel_off["n_lang_dropped"] == 0
+    assert funnel_off["n_kept"] == 3
