@@ -15,6 +15,7 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
            language distribution, duplicate-rate estimate)
   corpus  --input <docs parquet> --eval <eval parquet> --output <dir>
           (full training-corpus build: extract ->
+           [--para-dedup: collapse in-doc repeated blocks] ->
            [--c4: heuristic line cleaning + doc gate] ->
            [--langs: language allow-set gate] -> quality ->
            [--domain-col: per-source policy gate, with --blocklist /
@@ -159,6 +160,9 @@ def main(argv: list[str] | None = None) -> None:
                         "document gate folds into the quality gate")
     k.add_argument("--c4-min-words", type=int, default=5)
     k.add_argument("--c4-min-sentences", type=int, default=3)
+    k.add_argument("--para-dedup", action="store_true",
+                   help="collapse byte-identical repeated blocks within "
+                        "each document before any gate (pure rewrite)")
     k.add_argument("--langs", default=None,
                    help="comma-separated language allow-set (heuristic "
                         "lang-ID gate folds into the quality gate)")
@@ -282,6 +286,7 @@ def main(argv: list[str] | None = None) -> None:
             c4_min_sentences=args.c4_min_sentences,
             langs=(tuple(s.strip() for s in args.langs.split(","))
                    if args.langs else None),
+            para_dedup=args.para_dedup,
             domain_col=args.domain_col,
             domain_blocklist=blocklist,
             domain_min_docs=args.domain_min_docs,

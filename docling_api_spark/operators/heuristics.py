@@ -127,8 +127,8 @@ def c4_document_flags(df: DataFrame, text_col: str = "text",
 
 
 def dedup_paragraphs_within_doc(df: DataFrame, text_col: str = "text",
-                                out_col: str = "para_deduped_text"
-                                ) -> DataFrame:
+                                out_col: str = "para_deduped_text",
+                                sep: str = "\n") -> DataFrame:
     """IN-document paragraph dedup: a page's nav menu / footer / cookie
     banner often repeats VERBATIM inside one document (template engines
     emit it per section) — spandedup.py cuts passages duplicated ACROSS
@@ -140,8 +140,14 @@ def dedup_paragraphs_within_doc(df: DataFrame, text_col: str = "text",
     NULL text passes through NULL. Cost is O(P²) comparisons per doc in
     P = paragraph count — tens of blocks, not thousands; the linear
     alternative (explode + first-occurrence window) buys a shuffle per
-    document instead."""
-    lines = F.split(F.col(text_col), "\n")
+    document instead.
+
+    ``sep`` is the paragraph boundary, used verbatim as both the split
+    pattern and the join string (regex-neutral literals only — newlines
+    are): '\\n' for line-shaped text, '\\n\\n' for post-extraction
+    markdown where blocks are blank-line separated (otherwise the empty
+    separator lines would count as repeats of each other)."""
+    lines = F.split(F.col(text_col), sep)
     # keep position i iff it is the FIRST occurrence of its line;
     # array_position returns the 1-based first index (exact equality —
     # this is byte-grain dedup, whitespace variants are distinct)
@@ -152,7 +158,7 @@ def dedup_paragraphs_within_doc(df: DataFrame, text_col: str = "text",
     return (
         df.withColumn(
             out_col,
-            F.when(F.col(text_col).isNotNull(), F.array_join(kept, "\n")),
+            F.when(F.col(text_col).isNotNull(), F.array_join(kept, sep)),
         )
         .withColumn(
             "n_paras",

@@ -60,6 +60,7 @@ def annotate_corpus(
     c4_min_words: int = 5,
     c4_min_sentences: int = 3,
     langs: tuple[str, ...] | None = None,
+    para_dedup: bool = False,
 ) -> DataFrame:
     """One row per input document carrying every stage's verdict:
 
@@ -99,6 +100,12 @@ def annotate_corpus(
     a C4-rejected doc fails ok_quality with ``c4_drop`` set (reported
     as ``n_c4_dropped``: extraction-ok docs rejected by C4).
 
+    ``para_dedup`` (optional) rewrites each document FIRST by collapsing
+    byte-identical repeated blocks within it (template nav/footer
+    repeats, operators/heuristics.py) — a rewrite, never a drop; the
+    funnel reports the total as ``n_paras_deduped`` and each row carries
+    its ``n_paras_dropped``.
+
     ``langs`` (optional) is the CCNet-style per-language gate: the
     heuristic language ID (textstats.with_lang_id) runs on the
     (possibly C4-cleaned) extracted text and documents predicted
@@ -116,6 +123,22 @@ def annotate_corpus(
     # A) extract + quality score, one projection chain off the scan
     keep_cols = [id_col] + ([domain_col] if domain_col else [])
     ext = extract_text_column(docs, keep_cols=keep_cols)
+    if para_dedup:
+        from docling_api_spark.operators.heuristics import (
+            dedup_paragraphs_within_doc)
+
+        # pure rewrite (no gate): in-doc repeated blocks collapse BEFORE
+        # C4 counts sentences / the quality score sees the text; the
+        # per-doc drop count rides along into the funnel sum
+        ext = dedup_paragraphs_within_doc(
+            ext, text_col="extracted_text", sep="\n\n"  # markdown blocks
+        ).withColumn(
+            "extracted_text",
+            F.coalesce(F.col("para_deduped_text"),
+                       F.col("extracted_text")),
+        ).drop("para_deduped_text", "n_paras")
+    else:
+        ext = ext.withColumn("n_paras_dropped", F.lit(0))
     if c4:
         from docling_api_spark.operators.heuristics import c4_clean_lines
 
@@ -147,6 +170,7 @@ def annotate_corpus(
         id_col,
         *([domain_col] if domain_col else []),
         "status",
+        "n_paras_dropped",
         "extracted_text",
         F.when(
             F.col("extracted_text").isNull()
@@ -336,6 +360,8 @@ def corpus_funnel(annotated: DataFrame) -> dict:
         F.sum(F.col("ok_quality").cast("long")).alias("n_quality"),
         F.sum(F.col("c4_drop").cast("long")).alias("n_c4_dropped"),
         F.sum(F.col("lang_drop").cast("long")).alias("n_lang_dropped"),
+        F.sum(F.col("n_paras_dropped").cast("long"))
+        .alias("n_paras_deduped"),
         F.sum(F.col("domain_drop").cast("long")).alias("n_domain_dropped"),
         F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dropped"),
         F.sum(F.col("is_near_dup").cast("long")).alias("n_near_dropped"),

@@ -565,3 +565,41 @@ def test_lang_gate_wiring(spark):
     )
     assert funnel_off["n_lang_dropped"] == 0
     assert funnel_off["n_kept"] == 3
+
+
+def test_para_dedup_stage(spark):
+    """Opt-in in-document paragraph dedup: a rewrite (never a drop) that
+    runs before every gate; repeated blocks vanish from the trained
+    text, the funnel sums the cuts, off-mode reports zero."""
+    from docling_api_spark.plans.corpus_pipeline import (
+        build_training_examples,
+    )
+
+    menu = "Home About Products Contact Careers."
+    body = ("A first proper sentence with plenty of words sits here.\n\n"
+            + menu + "\n\n"
+            "A second proper sentence with plenty of words follows!\n\n"
+            + menu + "\n\n"
+            "A third proper sentence with plenty of words closes it.")
+    docs = spark.createDataFrame(
+        [(1, body), (2, "One unique ordinary document with words.")],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(9, "nothing leaks")], "doc_id long, text string")
+    annotated, _, funnel = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, quality_floor=0.0,
+        para_dedup=True,
+    )
+    flags = {r["doc_id"]: r for r in annotated.collect()}
+    # post-extraction blocks: [s1, menu, s2, menu, s3] -> one menu cut
+    assert flags[1]["n_paras_dropped"] == 1
+    assert flags[1]["extracted_text"].count("Home About") == 1
+    assert flags[2]["n_paras_dropped"] == 0
+    assert funnel["n_paras_deduped"] == 1
+    assert funnel["n_kept"] == 2  # rewrite, not a drop
+
+    _, _, funnel_off = build_training_examples(
+        spark, docs, eval_docs, ctx_len=64, quality_floor=0.0,
+    )
+    assert funnel_off["n_paras_deduped"] == 0
