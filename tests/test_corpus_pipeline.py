@@ -495,6 +495,7 @@ def test_all_stages_enabled_together(spark, tmp_path):
             spark, docs, eval_docs, ctx_len=32, quality_floor=0.0,
             near_threshold=0.9, decontam_n=8,
             c4=True, c4_min_words=5, c4_min_sentences=3,
+            langs=("en",), para_dedup=True,
             domain_col="source", domain_blocklist=bl,
             snapshot_index=index, snapshot_threshold=0.9,
             span_k=12, shuffle_shards=2,
