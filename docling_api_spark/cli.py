@@ -53,6 +53,23 @@ def _read_input(spark, path: str, fmt: str):
     return spark.read.parquet(path)
 
 
+def _parse_langs(spec: str | None):
+    """Validate --langs against the CLOSED code set the heuristic
+    lang-ID emits — a typo ('EN', 'english', trailing comma) would
+    otherwise run the whole build and silently lang-drop every doc."""
+    if spec is None:
+        return None
+    from docling_api_spark.operators.textstats import LANG_CODES
+
+    langs = tuple(s.strip() for s in spec.split(","))
+    bad = [s for s in langs if s not in LANG_CODES]
+    if bad:
+        raise SystemExit(
+            f"--langs: unknown code(s) {bad}; the heuristic lang-ID "
+            f"emits exactly {list(LANG_CODES)}")
+    return langs
+
+
 def _add_input_format(sp) -> None:
     sp.add_argument("--input-format", default="parquet",
                     choices=("parquet", "jsonl"),
@@ -178,6 +195,10 @@ def main(argv: list[str] | None = None) -> None:
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
+    # fail fast on a bad --langs BEFORE any Spark work (a typo would
+    # otherwise run the whole build and silently drop every doc)
+    langs = (_parse_langs(args.langs)
+             if getattr(args, "langs", None) else None)
 
     from docling_api_spark.session import get_spark
 
@@ -284,8 +305,7 @@ def main(argv: list[str] | None = None) -> None:
             c4=args.c4,
             c4_min_words=args.c4_min_words,
             c4_min_sentences=args.c4_min_sentences,
-            langs=(tuple(s.strip() for s in args.langs.split(","))
-                   if args.langs else None),
+            langs=langs,
             para_dedup=args.para_dedup,
             domain_col=args.domain_col,
             domain_blocklist=blocklist,

@@ -135,39 +135,45 @@ def dedup_paragraphs_within_doc(df: DataFrame, text_col: str = "text",
     documents, this cuts exact repeats WITHIN one. First occurrence
     kept in place, later byte-identical paragraphs dropped
     (order-preserving), counters exact. One shuffle-free codegen
-    projection: split('\\n') -> positional filter against the first
-    index of each line (no Python, fuses into the feeding scan).
-    NULL text passes through NULL. Cost is O(P²) comparisons per doc in
-    P = paragraph count — tens of blocks, not thousands; the linear
-    alternative (explode + first-occurrence window) buys a shuffle per
-    document instead.
+    projection: split once (materialized — an inline array referenced
+    inside HOFs re-evaluates per element, the documented 5x trap), then
+    ``array_distinct`` — which is exactly order-preserving
+    first-occurrence (verified against a positional-filter reference),
+    O(P) in P = paragraph count. Byte-grain equality: whitespace
+    variants are distinct. NULL text passes through NULL.
 
     ``sep`` is the paragraph boundary, used verbatim as both the split
     pattern and the join string (regex-neutral literals only — newlines
     are): '\\n' for line-shaped text, '\\n\\n' for post-extraction
     markdown where blocks are blank-line separated (otherwise the empty
     separator lines would count as repeats of each other)."""
-    lines = F.split(F.col(text_col), sep)
-    # keep position i iff it is the FIRST occurrence of its line;
-    # array_position returns the 1-based first index (exact equality —
-    # this is byte-grain dedup, whitespace variants are distinct)
-    kept = F.filter(
-        lines,
-        lambda ln, i: F.array_position(lines, ln) == i + 1,
-    )
+    reserved = {out_col, "n_paras", "n_paras_dropped",
+                "_pd_lines", "_pd_kept"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"dedup_paragraphs_within_doc: input already carries "
+            f"{sorted(clash)} (reserved output/scratch names — same "
+            "contract as textstats.with_repetition_stats)")
     return (
-        df.withColumn(
+        df.withColumn("_pd_lines", F.split(F.col(text_col), sep))
+        .withColumn("_pd_kept", F.array_distinct("_pd_lines"))
+        .withColumn(
             out_col,
-            F.when(F.col(text_col).isNotNull(), F.array_join(kept, sep)),
+            F.when(F.col(text_col).isNotNull(),
+                   F.array_join(F.col("_pd_kept"), sep)),
         )
         .withColumn(
             "n_paras",
-            F.when(F.col(text_col).isNotNull(), F.size(lines))
+            F.when(F.col(text_col).isNotNull(), F.size("_pd_lines"))
             .otherwise(F.lit(0)),
         )
         .withColumn(
             "n_paras_dropped",
-            F.when(F.col(text_col).isNotNull(),
-                   F.size(lines) - F.size(kept)).otherwise(F.lit(0)),
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.size("_pd_lines") - F.size("_pd_kept"),
+            ).otherwise(F.lit(0)),
         )
+        .drop("_pd_lines", "_pd_kept")
     )

@@ -85,9 +85,15 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# the CLOSED set with_lang_id can emit — gate callers validate their
+# allow-lists against it (an unknown code would silently drop everything)
+LANG_CODES = ("zh", "ru", "el", "en", "und")
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """N-gram-free heuristic language ID: script detection (CJK/Cyrillic/
-    Greek) then English-stopword density; 'und' when nothing matches."""
+    Greek) then English-stopword density; 'und' when nothing matches.
+    Emits exactly the codes in ``LANG_CODES``."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     toks = _tokens(F.lower(F.col(text_col)))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))

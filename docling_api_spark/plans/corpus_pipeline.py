@@ -64,10 +64,10 @@ def annotate_corpus(
 ) -> DataFrame:
     """One row per input document carrying every stage's verdict:
 
-    (id_col, status, extracted_text, n_extracted_tokens, quality_score,
-     ok_extract, c4_drop, lang_drop, ok_quality, domain_drop,
-     exact_keeper, is_exact_dup, cluster_id, is_near_dup, snapshot_dup,
-     contaminated, split, final_keep)
+    (id_col, status, n_paras_dropped, extracted_text,
+     n_extracted_tokens, quality_score, ok_extract, c4_drop, lang_drop,
+     ok_quality, domain_drop, exact_keeper, is_exact_dup, cluster_id,
+     is_near_dup, snapshot_dup, contaminated, split, final_keep)
 
     ``final_keep`` is the conjunction of the funnel gates; ``split`` is
     assigned for every extraction-passing document (so eval-set sizing

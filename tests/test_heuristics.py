@@ -168,3 +168,15 @@ def test_dedup_paragraphs_within_doc(spark):
         assert got[i] == py(t), i
     assert got[1][0] == "menu\nbody one\nbody two\nfooter"
     assert got[6][2] == 0
+
+
+def test_para_dedup_reserved_names_raise(spark):
+    import pytest
+
+    from docling_api_spark.operators.heuristics import (
+        dedup_paragraphs_within_doc)
+
+    df = spark.createDataFrame(
+        [(1, "a", 0)], "doc_id long, text string, n_paras_dropped int")
+    with pytest.raises(ValueError, match="reserved"):
+        dedup_paragraphs_within_doc(df)
