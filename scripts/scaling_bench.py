@@ -215,7 +215,16 @@ fixture equality); throughput scales because extraction is per-turn
 independent, runs straight off scan splits with no input shuffle, and
 each Arrow batch (≤4096 rows) is one vectorized kernel call.
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    # preserve sections other tools appended (e.g. the curation-layer
+    # scaling table from scripts/curation_scaling.py) — this report owns
+    # only the extraction part of the file
+    prev_path = bench_dir / "BASELINE.md"
+    if prev_path.exists():
+        prev = prev_path.read_text()
+        marker = "\n## Curation-layer"
+        if marker in prev:
+            md = md.rstrip("\n") + "\n" + marker + prev.split(marker, 1)[1]
+    prev_path.write_text(md)
     print(json.dumps(summary))
 
 
