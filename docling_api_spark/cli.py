@@ -28,6 +28,12 @@ Ships via ``spark-submit --py-files docling_api_spark.zip cli.py ...``
            writes annotated/ and examples/ parquet plus
            funnel.json, prints the funnel)
 
+  select  --input <corpus> --target <seed parquet> --raw <seed parquet>
+          -k N --output <dir>
+          (DSIR data selection: hashed-n-gram importance vs the target
+           seed, deterministic Gumbel-top-k sample of k docs; writes the
+           selected (id, score, key) parquet)
+
 Every --input-bearing subcommand also accepts ``--input-format jsonl``
 (one JSON document per line — the shape crawl dumps land in).
 
@@ -194,6 +200,25 @@ def main(argv: list[str] | None = None) -> None:
                         "for per-epoch reshuffles)")
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--text-col", default="text")
+    sel = sub.add_parser("select")
+    _add_input_format(sel)
+    sel.add_argument("--input", required=True,
+                     help="corpus to select from (id + text)")
+    sel.add_argument("--target", required=True,
+                     help="parquet of target-domain seed docs")
+    sel.add_argument("--raw", required=True,
+                     help="parquet of raw-domain seed docs (typically a "
+                          "uniform hash-sample of the corpus)")
+    sel.add_argument("-k", type=int, required=True,
+                     help="number of documents to select")
+    sel.add_argument("--output", required=True,
+                     help="parquet dir for the selected "
+                          "(id, score_scaled, dsir_key) rows")
+    sel.add_argument("--temperature", type=float, default=1.0)
+    sel.add_argument("--salt", default="dsir",
+                     help="resample = a new salt (fold an epoch in)")
+    sel.add_argument("--id-col", default="doc_id")
+    sel.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
     # fail fast on a bad --langs BEFORE any Spark work (a typo would
     # otherwise run the whole build and silently drop every doc)
@@ -263,6 +288,32 @@ def main(argv: list[str] | None = None) -> None:
             with open(args.output, "w") as f:
                 json.dump(report, f, sort_keys=True)
         print(json.dumps(report, sort_keys=True))
+    elif args.cmd == "select":
+        from pyspark.sql import functions as F
+
+        from docling_api_spark.operators.dsir import dsir_select
+
+        corpus = _read_input(spark, args.input, args.input_format)
+        selected = dsir_select(
+            corpus,
+            spark.read.parquet(args.target),
+            spark.read.parquet(args.raw),
+            k=args.k,
+            id_col=args.id_col, text_col=args.text_col,
+            temperature=args.temperature, salt=args.salt,
+        ).localCheckpoint(eager=True)
+        selected.write.mode("overwrite").parquet(args.output)
+        stats = selected.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("score_scaled").alias("min_score_scaled"),
+            F.max("score_scaled").alias("max_score_scaled"),
+        ).collect()[0]
+        print(json.dumps({
+            "k": args.k, "selected": int(stats["n"]),
+            "salt": args.salt, "temperature": args.temperature,
+            "min_score_scaled": int(stats["min_score_scaled"]),
+            "max_score_scaled": int(stats["max_score_scaled"]),
+        }, sort_keys=True))
     elif args.cmd == "corpus":
         import os
 
