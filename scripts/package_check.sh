@@ -54,3 +54,16 @@ assert f["n_input"] >= f["n_extracted"] >= f["n_quality"] >= f["n_kept"] > 0, f
 assert f["n_kept"] == f["n_train"] + f["n_val"] + f["n_test"], f
 print("corpus package check OK:", f["n_kept"], "kept,", f["n_chunks"], "chunks")
 EOF
+
+# DSIR selection ships through the same zip (classifier + Gumbel-top-k)
+SEL=$(spark-submit --master 'local[4]' --py-files "$WORK/das.zip" \
+      docling_api_spark/cli.py select --input "$WORK/docs" \
+      --target "$WORK/eval" --raw "$WORK/docs" -k 50 \
+      --output "$WORK/selected" 2>/dev/null | tail -1)
+echo "$SEL"
+python - <<EOF
+import json
+s = json.loads('''$SEL''')
+assert s["selected"] == 50, s
+print("select package check OK:", s["selected"], "selected")
+EOF
