@@ -308,12 +308,16 @@ def main(argv: list[str] | None = None) -> None:
             F.min("score_scaled").alias("min_score_scaled"),
             F.max("score_scaled").alias("max_score_scaled"),
         ).collect()[0]
-        print(json.dumps({
+        report = {
             "k": args.k, "selected": int(stats["n"]),
             "salt": args.salt, "temperature": args.temperature,
-            "min_score_scaled": int(stats["min_score_scaled"]),
-            "max_score_scaled": int(stats["max_score_scaled"]),
-        }, sort_keys=True))
+        }
+        # min/max aggregates over zero rows are NULL — an empty corpus
+        # (or k over an empty selection) must not TypeError on int(None)
+        if report["selected"] > 0:
+            report["min_score_scaled"] = int(stats["min_score_scaled"])
+            report["max_score_scaled"] = int(stats["max_score_scaled"])
+        print(json.dumps(report, sort_keys=True))
     elif args.cmd == "corpus":
         import os
 

@@ -40,6 +40,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _as_long(c: str, op: str):
+    """Cast column ``c`` to long, failing LOUDLY on lossy input.
+
+    try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    raises its own opaque CAST_INVALID_INPUT mid-job, and under non-ANSI
+    it silently NULLs — try_cast gives NULL in both modes so the branch
+    below is the single, clearly-messaged error path regardless of
+    session config. A NULL-producing cast (string 'doc-123') would
+    otherwise flow on as NULL — connected_components would return an
+    empty labels frame ("zero duplicate clusters" with no error) and
+    select_keepers a NULL keeper (every ``keep`` NULL) — and a
+    TRUNCATING cast (double 1.2 and 1.7 both -> 1) would silently merge
+    distinct nodes. The round-trip-through-double equality check catches
+    truncation for every numeric input type (both sides pass through the
+    same double conversion, so >2^53 longs compare equal to themselves).
+    """
+    raw = F.col(c)
+    casted = raw.try_cast("long")
+    bad = raw.isNotNull() & (
+        casted.isNull()
+        | (casted.cast("double") != raw.cast("double"))
+    )
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op}: node id does not cast losslessly to long "
+                    "(use a numeric surrogate id): "
+                ),
+                raw.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(casted)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -66,43 +102,11 @@ def connected_components(
     (a pair list never legitimately contains them).
     """
 
-    def _as_long(c: str):
-        raw = F.col(c)
-        # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
-        # cast raises its own opaque CAST_INVALID_INPUT mid-job, and
-        # under non-ANSI it silently NULLs — try_cast gives NULL in both
-        # modes so the branch below is the single, clearly-messaged
-        # error path regardless of session config
-        casted = raw.try_cast("long")
-        # fail LOUDLY on ids that do not survive the long cast
-        # LOSSLESSLY: a NULL-producing cast (string 'doc-123') would
-        # otherwise be filtered below and the operator would return an
-        # empty labels frame — "zero duplicate clusters" with no error —
-        # and a TRUNCATING cast (double 1.2 and 1.7 both -> 1) would
-        # silently merge distinct nodes. The round-trip-through-double
-        # equality check catches truncation for every numeric input
-        # type (both sides pass through the same double conversion, so
-        # >2^53 longs compare equal to themselves).
-        bad = raw.isNotNull() & (
-            casted.isNull()
-            | (casted.cast("double") != raw.cast("double"))
-        )
-        return F.when(
-            bad,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "connected_components: node id does not cast "
-                        "losslessly to long (use a numeric surrogate "
-                        "id): "
-                    ),
-                    raw.cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(casted)
-
     e = (
-        edges.select(_as_long(src).alias("a"), _as_long(dst).alias("b"))
+        edges.select(
+            _as_long(src, "connected_components").alias("a"),
+            _as_long(dst, "connected_components").alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
     )
     # symmetrize by exploding both directions out of ONE pass — a
@@ -217,6 +221,10 @@ def select_keepers(clusters: DataFrame, scores: DataFrame,
     selection to min-id keeping (tested). NaN scores are folded to NULL
     before the max — Spark orders NaN ABOVE every real double, so an
     un-guarded NaN (a 0/0 upstream) would crown the junk copy.
+
+    Node ids must cast losslessly to long — same loud ``_as_long``
+    guard as connected_components (a string id would otherwise negate
+    to NULL and every ``keep`` would come back NULL).
     """
     j = clusters.join(
         scores.select(
@@ -225,14 +233,19 @@ def select_keepers(clusters: DataFrame, scores: DataFrame,
                     F.lit(None).cast("double")).alias("_s"),
         ),
         id_col, "left",
+    ).withColumn(
+        # same lossless-long guard as connected_components: a string id
+        # would otherwise make -id silently NULL (non-ANSI), crowning a
+        # NULL keeper and returning every ``keep`` as NULL
+        "_idl", _as_long(id_col, "select_keepers"),
     )
     winners = j.groupBy(cluster_col).agg(
         F.max(F.struct(F.col("_s").alias("s"),
-                       (-F.col(id_col)).alias("ni"))).alias("_w"),
+                       (-F.col("_idl")).alias("ni"))).alias("_w"),
     ).select(cluster_col, (-F.col("_w.ni")).alias("_keeper"))
     return j.join(winners, cluster_col).select(
         id_col, cluster_col,
-        (F.col(id_col) == F.col("_keeper")).alias("keep"),
+        (F.col("_idl") == F.col("_keeper")).alias("keep"),
     )
 
 

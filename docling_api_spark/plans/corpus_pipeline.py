@@ -420,7 +420,9 @@ def build_training_examples(
 
     ``shuffle_shards`` (optional) appends a deterministic training-order
     permutation (operators/ordering.py) to every example: (shard,
-    position) keyed on chunk_id under ``shuffle_salt`` — fold the epoch
+    position) keyed on the packed BIN (shard_id, bin_idx) under
+    ``shuffle_salt`` — every example packed into a bin shares its slot,
+    so a bin's sequences stay adjacent in training order. Fold the epoch
     number into the salt for per-epoch reshuffles.
     """
     from docling_api_spark.operators.chunking import chunk_documents

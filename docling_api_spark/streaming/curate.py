@@ -47,15 +47,28 @@ def gate_batch(batch: DataFrame, weights: DataFrame, meta: dict,
     row with per-gate verdict columns plus ``gate_keep`` (their
     conjunction); gate order validity -> C4 -> classifier -> LM, later
     gates evaluated on all rows (the funnel counts are per-gate
-    marginals, the conjunction is the decision)."""
+    marginals, the conjunction is the decision).
+
+    ``id_col`` must be unique per batch among non-NULL ids — duplicate
+    ids would have their texts scored as ONE merged document by the
+    id-grain scorers (the streaming wrapper asserts this per
+    micro-batch). NULL-id rows are never scored and never kept: they
+    fail ``gate_valid`` and ride the score joins as left-join misses
+    (an inner join would silently DROP them from the annotated output
+    and the funnel counts)."""
     if lm_model is not None and max_perplexity is None:
         raise ValueError(
             "gate_batch: lm_model given without max_perplexity — the LM "
             "gate needs its threshold")
     # validity first: the batch pipeline blocks NULL payloads via
     # ok_extract; without this a NULL-text row would ride the
-    # classifier's prior-only score straight into the kept corpus
-    out = batch.withColumn("gate_valid", F.col(text_col).isNotNull())
+    # classifier's prior-only score straight into the kept corpus.
+    # NULL ids are invalid too — the id-grain score joins cannot carry
+    # a verdict back to an unaddressable row
+    out = batch.withColumn(
+        "gate_valid",
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull(),
+    )
     gates = ["gate_valid"]
     if c4:
         from docling_api_spark.operators.heuristics import c4_document_flags
@@ -65,23 +78,29 @@ def gate_batch(batch: DataFrame, weights: DataFrame, meta: dict,
         gates.append("gate_c4")
     from docling_api_spark.operators.classifier import nb_score
 
-    scored = nb_score(out, weights, meta, id_col, text_col).select(
+    # score only addressable rows; LEFT join the verdicts back so
+    # NULL-id rows stay in the annotated output (inner-join semantics
+    # never match NULL keys — the rows would vanish from the kept
+    # output AND the funnel denominators). Their NULL gate columns
+    # coalesce to False in the conjunction below.
+    addressable = out.filter(F.col(id_col).isNotNull())
+    scored = nb_score(addressable, weights, meta, id_col, text_col).select(
         id_col, F.col("score_scaled").alias("clf_score_scaled"),
         F.col("keep").alias("gate_classifier"),
     )
-    out = out.join(scored, id_col)
+    out = out.join(scored, id_col, "left")
     gates.append("gate_classifier")
     if lm_model is not None:
         from docling_api_spark.operators.lm import score_lm
 
         bigrams, contexts, lmmeta = lm_model
-        ppl = score_lm(out.select(id_col, text_col), bigrams, contexts,
-                       lmmeta, id_col, text_col).select(
+        ppl = score_lm(addressable.select(id_col, text_col), bigrams,
+                       contexts, lmmeta, id_col, text_col).select(
             id_col, "perplexity",
             (F.col("perplexity") <= F.lit(float(max_perplexity)))
             .alias("gate_lm"),
         )
-        out = out.join(ppl, id_col)
+        out = out.join(ppl, id_col, "left")
         gates.append("gate_lm")
     keep = F.lit(True)
     for g in gates:
@@ -123,6 +142,19 @@ def curation_gate_stream(
             id_col, text_col,
         )
         annotated = annotated.localCheckpoint(eager=True)
+        # gate_batch scores at id grain: duplicate ids within a batch
+        # would have been scored as one merged document — fail the batch
+        # loudly (the checkpoint replays it after the producer is fixed)
+        dup = annotated.agg(
+            (F.count(F.col(id_col))
+             - F.count_distinct(F.col(id_col))).alias("d")
+        ).collect()[0]["d"]
+        if dup:
+            raise ValueError(
+                f"curation_gate_stream: batch {batch_id} has {dup} "
+                f"duplicate non-NULL {id_col} rows — ids must be unique "
+                "per micro-batch (they are scored at id grain)"
+            )
         annotated.filter("gate_keep").write.mode("overwrite").parquet(
             os.path.join(out_dir, "kept", f"batch={batch_id}")
         )

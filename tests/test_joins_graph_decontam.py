@@ -586,3 +586,29 @@ def test_select_keepers_nan_never_wins(spark):
     got = {int(r["id"]): bool(r["keep"])
            for r in select_keepers(clusters, scores).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_select_keepers_string_id_fails_loudly(spark):
+    """ADVICE r03: a string id used to negate to NULL silently (non-ANSI
+    cast), crowning a NULL keeper and returning every ``keep`` NULL —
+    it must raise the same loud guard as connected_components."""
+    import pytest
+
+    from docling_api_spark.operators.graph import select_keepers
+
+    clusters = spark.createDataFrame(
+        [("doc-1", 1), ("doc-2", 1)], "id string, comp long")
+    scores = spark.createDataFrame(
+        [("doc-1", 0.2), ("doc-2", 0.9)], "id string, score double")
+    with pytest.raises(Exception, match="select_keepers"):
+        select_keepers(clusters, scores).collect()
+
+    # digit-strings cast losslessly -> still work (same posture as
+    # connected_components)
+    clusters2 = spark.createDataFrame(
+        [("1", 1), ("2", 1)], "id string, comp long")
+    scores2 = spark.createDataFrame(
+        [("1", 0.2), ("2", 0.9)], "id string, score double")
+    got = {r["id"]: bool(r["keep"])
+           for r in select_keepers(clusters2, scores2).collect()}
+    assert got == {"1": False, "2": True}

@@ -119,3 +119,48 @@ def test_null_text_never_kept_and_lm_needs_threshold(spark):
 
     with pytest.raises(ValueError, match="max_perplexity"):
         gate_batch(docs, weights, meta, lm_model=lm)
+
+
+def test_null_id_rows_survive_annotation_and_never_kept(spark):
+    """ADVICE r03: NULL doc_id rows used to be silently DROPPED by the
+    inner score joins — they must stay in the annotated frame (funnel
+    denominators count them) with gate_valid/gate_keep False."""
+    from docling_api_spark.streaming.curate import gate_batch
+
+    weights, meta, lm = _models(spark)
+    docs = spark.createDataFrame(
+        [(None, "a perfectly ordinary document body right here"),
+         (7, "another perfectly ordinary document body here too")],
+        "doc_id long, text string",
+    )
+    ann, _ = gate_batch(docs, weights, meta, lm, 1e9, c4=True)
+    rows = ann.collect()
+    assert len(rows) == 2  # the NULL-id row did not vanish
+    by_id = {r["doc_id"]: r for r in rows}
+    assert not by_id[None]["gate_valid"]
+    assert not by_id[None]["gate_keep"]
+    assert by_id[7]["gate_valid"]
+
+
+def test_stream_duplicate_ids_fail_loudly(spark, tmp_path):
+    """ADVICE r03: duplicate doc_ids within a batch are scored as one
+    merged document — the stream must fail the batch, not gate garbage."""
+    import pytest
+
+    from docling_api_spark.streaming.curate import curation_gate_stream
+
+    weights, meta, _ = _models(spark)
+    docs = spark.createDataFrame(
+        [(1, "first body of the duplicated id"),
+         (1, "second body sharing that same id"),
+         (2, "an honest unique document body")],
+        "doc_id long, text string",
+    )
+    in_dir = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(in_dir)
+    q = curation_gate_stream(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        weights, meta,
+    )
+    with pytest.raises(Exception, match="duplicate non-NULL doc_id"):
+        q.awaitTermination()
