@@ -163,6 +163,15 @@ def main() -> None:
             "text_fingerprint",
             "decontaminate_ngrams",
             "multimodal_frames",
+            # round-4 registry rotation: the curation layer's driver
+            # queries (see __spark_entry__.py registry note)
+            "curation_group_split",
+            "curation_chunk_documents",
+            "curation_domain_stats",
+            "curation_pagerank",
+            "curation_nb_quality",
+            "dedup_index_matches",
+            "corpus_funnel",
         ]
         # two interleaved passes over the whole sweep, best-of-2 per
         # query: single-shot timings on this shared host drift 2-3x with
@@ -175,7 +184,8 @@ def main() -> None:
         # co-tenant bursts, so two samples still leave 2-4x spread
         # (measured: minhash 35.4/3.3/2.7 s in one interleaved triple).
         heavy = {"dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-                 "dedup_cc_clusters", "sim_ann_topk"}
+                 "dedup_cc_clusters", "sim_ann_topk",
+                 "curation_pagerank", "dedup_index_matches"}
         trials_by_query: dict[str, list[float]] = {n: [] for n in names}
         for rnd in range(3):
             for name in names:
