@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None) -> None:
         r.add_argument("--no-tables", action="store_true",
                        help="disable C3 table extraction "
                             "(reference schemas.py:118)")
+        r.add_argument("--max-payload-chars", type=int, default=None,
+                       help="per-turn payload cap; longer turns become "
+                            "oversize error rows (default 65536 — the "
+                            "frozen-fixture constant; the reference "
+                            "accepts 100 MB files, api/config.py:56-59)")
     s = sub.add_parser("status")
     s.add_argument("--output", required=True)
     c = sub.add_parser("compact")
@@ -200,6 +205,10 @@ def main(argv: list[str] | None = None) -> None:
                         "for per-epoch reshuffles)")
     k.add_argument("--id-col", default="doc_id")
     k.add_argument("--text-col", default="text")
+    k.add_argument("--max-payload-chars", type=int, default=None,
+                   help="per-document payload cap (default 65536); "
+                        "longer docs become oversize error rows, "
+                        "counted as n_oversize in the funnel")
     sel = sub.add_parser("select")
     _add_input_format(sel)
     sel.add_argument("--input", required=True,
@@ -233,11 +242,13 @@ def main(argv: list[str] | None = None) -> None:
         from docling_api_spark.plans.pipeline import run_extraction
 
         transcripts = _read_input(spark, args.input, args.input_format)
+        opt_kwargs = ({"max_payload_chars": args.max_payload_chars}
+                      if args.max_payload_chars is not None else {})
         summary = run_extraction(
             spark, transcripts, args.output, snapshot_id=args.snapshot,
             n_buckets=args.buckets, limit_buckets=args.limit_buckets,
             options=ExtractOptions(args.output_format,
-                                   not args.no_tables),
+                                   not args.no_tables, **opt_kwargs),
         )
         print(json.dumps(summary))
     elif args.cmd == "status":
@@ -362,6 +373,7 @@ def main(argv: list[str] | None = None) -> None:
             c4_min_sentences=args.c4_min_sentences,
             langs=langs,
             para_dedup=args.para_dedup,
+            max_payload_chars=args.max_payload_chars,
             domain_col=args.domain_col,
             domain_blocklist=blocklist,
             domain_min_docs=args.domain_min_docs,

@@ -66,19 +66,31 @@ class ExtractOptions:
       modal_docling.py:166): when False, table nodes are omitted from both
       markdown and doc_json (they still count in ``n_nodes`` — a parse
       statistic, not an emission statistic).
+    - ``max_payload_chars`` (the per-turn analog of the reference's 100 MB
+      upload cap, api/config.py:56-59): turns longer than this become
+      status='error' / payload_kind='oversize' rows, never crashes. The
+      default stays the frozen-fixture constant ``MAX_PAYLOAD_CHARS``
+      (65,536) — raise it per job for corpora with a long document tail;
+      the oversize rate is surfaced in the extraction lineage
+      (``n_oversize``) and the corpus funnel.
 
     OCR/VLM fields are explicit non-goals (C4/C5, SURVEY §7.2).
     """
 
     __slots__ = ("output_format", "enable_table_extraction",
-                 "want_markdown", "want_json")
+                 "want_markdown", "want_json", "max_payload_chars")
 
     def __init__(self, output_format: str = "markdown",
-                 enable_table_extraction: bool = True):
+                 enable_table_extraction: bool = True,
+                 max_payload_chars: int = MAX_PAYLOAD_CHARS):
         if output_format not in ("markdown", "json", "both"):
             raise ValueError(f"invalid output_format: {output_format!r}")
+        if not isinstance(max_payload_chars, int) or max_payload_chars < 1:
+            raise ValueError(
+                f"invalid max_payload_chars: {max_payload_chars!r}")
         self.output_format = output_format
         self.enable_table_extraction = enable_table_extraction
+        self.max_payload_chars = max_payload_chars
         self.want_markdown = output_format in ("markdown", "both")
         self.want_json = output_format in ("json", "both")
 
@@ -274,10 +286,11 @@ def _norm(s: str) -> str:
 # extension at modal_docling.py:393; we sniff content)
 # ---------------------------------------------------------------------------
 
-def sniff_kind(text: str | None) -> str:
+def sniff_kind(text: str | None,
+               max_payload_chars: int = MAX_PAYLOAD_CHARS) -> str:
     if text is None or text.strip() == "":
         return "empty"
-    if len(text) > MAX_PAYLOAD_CHARS:
+    if len(text) > max_payload_chars:
         return "oversize"
     if text.startswith(OCR_SENTINEL):
         return "needs_ocr"
@@ -1038,14 +1051,15 @@ def extract_one(text: str | None,
     """Extract a single payload. NEVER raises — any internal failure
     becomes a status='error' capsule (reference modal_docling.py:259-264)."""
     try:
-        kind = sniff_kind(text)
+        kind = sniff_kind(text, options.max_payload_chars)
         if kind == "empty":
             return _result(STATUS_SUCCESS, "empty", "", [], 1, 0,
                            [] if options.want_json else None, options)
         if kind == "oversize":
             return _result(
                 STATUS_ERROR, "oversize", "", [], 1, 0, None, options,
-                error=f"payload_too_large: {len(text)} > {MAX_PAYLOAD_CHARS}")
+                error=(f"payload_too_large: {len(text)} > "
+                       f"{options.max_payload_chars}"))
         if kind == "needs_ocr":
             return _result(STATUS_SKIPPED_OCR, "needs_ocr", "", [], 1, 0,
                            None, options)

@@ -104,6 +104,7 @@ def extract_text_column(df: DataFrame, text_col: str = "text",
     out_schema = _result_schema(passthrough)
     opt_fmt = options.output_format if options is not None else "markdown"
     opt_tables = options.enable_table_extraction if options is not None else True
+    opt_maxchars = options.max_payload_chars if options is not None else None
 
     def run(batches: Iterator) -> Iterator:
         # import inside the task: keeps the closure tiny; the kernel module
@@ -116,7 +117,10 @@ def extract_text_column(df: DataFrame, text_col: str = "text",
             extract_flat,
         )
 
-        opts = ExtractOptions(opt_fmt, opt_tables)
+        if opt_maxchars is None:
+            opts = ExtractOptions(opt_fmt, opt_tables)
+        else:
+            opts = ExtractOptions(opt_fmt, opt_tables, opt_maxchars)
 
         span_struct = pa.struct([
             pa.field("start", pa.int64(), nullable=False),

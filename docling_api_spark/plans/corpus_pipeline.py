@@ -61,13 +61,20 @@ def annotate_corpus(
     c4_min_sentences: int = 3,
     langs: tuple[str, ...] | None = None,
     para_dedup: bool = False,
+    max_payload_chars: int | None = None,
 ) -> DataFrame:
     """One row per input document carrying every stage's verdict:
 
-    (id_col, status, n_paras_dropped, extracted_text,
+    (id_col, status, is_oversize, n_paras_dropped, extracted_text,
      n_extracted_tokens, quality_score, ok_extract, c4_drop, lang_drop,
      ok_quality, domain_drop, exact_keeper, is_exact_dup, cluster_id,
      is_near_dup, snapshot_dup, contaminated, split, final_keep)
+
+    ``max_payload_chars`` (optional) raises/lowers the per-document
+    payload cap (ExtractOptions.max_payload_chars, default 65,536);
+    documents over the cap fail extraction as ``is_oversize`` rows and
+    the funnel reports their count as ``n_oversize`` — the signal that
+    the cap is truncating the corpus's long-document tail.
 
     ``final_keep`` is the conjunction of the funnel gates; ``split`` is
     assigned for every extraction-passing document (so eval-set sizing
@@ -122,7 +129,13 @@ def annotate_corpus(
 
     # A) extract + quality score, one projection chain off the scan
     keep_cols = [id_col] + ([domain_col] if domain_col else [])
-    ext = extract_text_column(docs, keep_cols=keep_cols)
+    ext_options = None
+    if max_payload_chars is not None:
+        from docling_api_spark.extraction.kernel import ExtractOptions
+
+        ext_options = ExtractOptions(max_payload_chars=max_payload_chars)
+    ext = extract_text_column(docs, keep_cols=keep_cols,
+                              options=ext_options)
     if para_dedup:
         from docling_api_spark.operators.heuristics import (
             dedup_paragraphs_within_doc)
@@ -170,6 +183,7 @@ def annotate_corpus(
         id_col,
         *([domain_col] if domain_col else []),
         "status",
+        (F.col("payload_kind") == "oversize").alias("is_oversize"),
         "n_paras_dropped",
         "extracted_text",
         F.when(
@@ -357,6 +371,7 @@ def corpus_funnel(annotated: DataFrame) -> dict:
     row = annotated.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.col("ok_extract").cast("long")).alias("n_extracted"),
+        F.sum(F.col("is_oversize").cast("long")).alias("n_oversize"),
         F.sum(F.col("ok_quality").cast("long")).alias("n_quality"),
         F.sum(F.col("c4_drop").cast("long")).alias("n_c4_dropped"),
         F.sum(F.col("lang_drop").cast("long")).alias("n_lang_dropped"),

@@ -211,6 +211,7 @@ def run_extraction(
             F.sum((F.col("status") == "success").cast("long")).alias("n_success"),
             F.sum((F.col("status") == "error").cast("long")).alias("n_error"),
             F.sum((F.col("status") == "skipped_ocr").cast("long")).alias("n_skipped_ocr"),
+            F.sum((F.col("payload_kind") == "oversize").cast("long")).alias("n_oversize"),
             F.sum("pages").alias("pages"),
             F.sum(credits_col(F.col("pages"))).alias("credits"),
         )
@@ -222,7 +223,8 @@ def run_extraction(
         [
             (run_id, snapshot_id, int(r["bucket"]), int(r["rows_in"]),
              int(r["rows_out"]), int(r["n_success"]), int(r["n_error"]),
-             int(r["n_skipped_ocr"]), int(r["pages"]), int(r["credits"]))
+             int(r["n_skipped_ocr"]), int(r["n_oversize"]), int(r["pages"]),
+             int(r["credits"]))
             for r in lineage_rows
         ],
         schema=LINEAGE_SCHEMA,

@@ -78,6 +78,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("n_success", T.LongType(), False),
         T.StructField("n_error", T.LongType(), False),
         T.StructField("n_skipped_ocr", T.LongType(), False),
+        # oversize errors broken out of n_error: the signal that the
+        # per-turn payload cap (ExtractOptions.max_payload_chars) is
+        # silently truncating the corpus's long-document tail
+        T.StructField("n_oversize", T.LongType(), False),
         T.StructField("pages", T.LongType(), False),
         T.StructField("credits", T.LongType(), False),
     ]

@@ -604,3 +604,42 @@ def test_para_dedup_stage(spark):
         spark, docs, eval_docs, ctx_len=64, quality_floor=0.0,
     )
     assert funnel_off["n_paras_deduped"] == 0
+
+
+def test_oversize_cap_in_funnel(spark):
+    """The per-document payload cap is a per-job option: an over-cap doc
+    is an is_oversize error row counted by the funnel (n_oversize), and
+    raising max_payload_chars extracts it (VERDICT r03 item 2)."""
+    from docling_api_spark.plans.corpus_pipeline import (
+        annotate_corpus,
+        corpus_funnel,
+    )
+
+    big = "<p>" + ("Unique oversized words here. " * 3000) + "</p>"
+    assert len(big) > 65_536
+    docs = spark.createDataFrame(
+        [(1, "<p>A normal document with plenty of words to keep.</p>"),
+         (2, big)],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(9, "eval words nothing shared")], "doc_id long, text string"
+    )
+
+    annotated = annotate_corpus(docs, eval_docs, quality_floor=0.0)
+    funnel = corpus_funnel(annotated)
+    assert funnel["n_oversize"] == 1
+    assert funnel["n_extracted"] == 1
+    row = {r["doc_id"]: r for r in annotated.collect()}
+    assert row[2]["is_oversize"] and row[2]["status"] == "error"
+    assert not row[1]["is_oversize"]
+
+    # raised cap: the same doc extracts and the counter drops to zero
+    annotated2 = annotate_corpus(docs, eval_docs, quality_floor=0.0,
+                                 max_payload_chars=len(big))
+    funnel2 = corpus_funnel(annotated2)
+    assert funnel2["n_oversize"] == 0
+    assert funnel2["n_extracted"] == 2
+    row2 = {r["doc_id"]: r for r in annotated2.collect()}
+    assert row2[2]["status"] == "success"
+    assert "Unique oversized words" in row2[2]["extracted_text"]

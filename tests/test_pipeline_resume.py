@@ -274,8 +274,12 @@ def test_lineage_metrics(spark, transcripts, tmp_path):
     assert set(lineage["partition_id"]) == set(range(8))
     assert (lineage["snapshot_id"] == "snap-test").all()
     assert (lineage["rows_in"] == lineage["rows_out"]).all()
-    total = lineage[["rows_out", "n_success", "n_error", "n_skipped_ocr"]].sum()
+    total = lineage[["rows_out", "n_success", "n_error", "n_skipped_ocr",
+                     "n_oversize"]].sum()
     assert total["rows_out"] == total["n_success"] + total["n_error"] + total["n_skipped_ocr"]
+    # the oversize breakout is a subset of n_error, and the synthetic
+    # corpus is generated with at least one over-cap payload (gen.py)
+    assert 1 <= total["n_oversize"] <= total["n_error"]
     # credits floor: every doc >= 1 credit (reference documents.py:35-41)
     assert (lineage["credits"] >= lineage["rows_out"]).all()
     assert (lineage["pages"] >= lineage["n_success"]).all()
