@@ -24,11 +24,14 @@ Shape at 100 TB: per iteration one join (ranks ⋈ edges on src) and one
 groupBy(dst) long-sum — both partial-agg/shuffle-friendly. The edge
 table is hash-partitioned by src ONCE and persisted by the caller (see
 ``prepare_edges``); each iteration then shuffles only the rank vector
-(#nodes rows, ≪ #edges). Dangling mass is ONE scalar agg per iteration
-(a bounded driver collect, same posture as the k-means centroids).
-Iteration count is FIXED (no convergence races): the plan is cut per
-iteration with an eager localCheckpoint, or the lineage would double
-every round.
+(#nodes rows, ≪ #edges). Dangling mass is a 1-row aggregate folded into
+the SAME job as the rank update (broadcast nested-loop join of the
+scalar — no driver round-trip per iteration; the collect-per-iteration
+variant measured ~2x this fixed floor on a 1k-node graph). Iteration
+count is FIXED (no convergence races): the plan is cut per iteration
+with an eager localCheckpoint — ``ranks`` feeds both the dangling
+scalar and the contribution join, so an uncut plan would double in
+cost every round.
 
 Reference parity: no reference analog (per-document gateway); part of
 the training-data-pipeline layer the brief adds (SURVEY §2.12).
@@ -91,11 +94,17 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     ).localCheckpoint(eager=True)
 
     for _ in range(n_iter):
-        # bounded driver scalar: this iteration's dangling mass
+        # this iteration's dangling mass as a 1-row frame, broadcast into
+        # the rank update below — the whole iteration is ONE Spark job
+        # (the eager checkpoint), with no driver collect in the loop
         dangling = ranks.filter("outdeg = 0").agg(
-            F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("m")
-        ).collect()[0]["m"]
-        dang_term = (int(dangling) * d_num) // (d_den * n)
+            F.coalesce(F.sum("rank_scaled"), F.lit(0).cast("long"))
+            .alias("_dm")
+        )
+        # floor((dangling·d_num) / (d_den·n)) — same exact long floor as
+        # the contribution term (`div` truncates toward zero; both
+        # operands are nonnegative, so trunc == floor)
+        dang_term = F.expr(f"(_dm * {d_num}) div {d_den * n}")
         contrib = (
             ranks.filter("outdeg > 0")
             .join(e, ranks["node"] == e["src"])
@@ -113,9 +122,11 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = nd.join(contrib, "node", "left").select(
+        ranks = nd.join(contrib, "node", "left").crossJoin(
+            F.broadcast(dangling)
+        ).select(
             "node", "outdeg",
-            (F.lit(base + dang_term).cast("long")
+            (F.lit(base).cast("long") + dang_term
              + F.coalesce("in_mass", F.lit(0).cast("long")))
             .alias("rank_scaled"),
         ).localCheckpoint(eager=True)
