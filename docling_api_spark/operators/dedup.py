@@ -235,41 +235,54 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.col(text_col),
         F.sha2(F.col(text_col), 256).alias("_h"),
     )
-    keepers = hashed.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
-    # The prefilter subtree (scan -> sha2 over full text -> groupBy ->
-    # join) feeds FOUR consumers downstream: exact_pairs, the minhash
-    # signature, and both sides of jaccard_verify. Materialize it once
-    # (eager localCheckpoint) so the full-corpus scan+hash+shuffle runs a
-    # single time instead of 3-4x (measured 5x end-to-end at sf0.1; at
-    # 100 TB each recompute is an extra full-corpus pass). Eagerness also
-    # matters on its own: AQE submits the consumers' stages concurrently
-    # and a lazily-shared node races — each branch recomputes the parent
-    # before any finishes populating it. localCheckpoint over persist():
-    # the checkpoint block store is released when the DataFrame is
-    # garbage-collected (ContextCleaner), whereas a persist() pins a
-    # CacheManager entry for the life of the session (and plan-matches
-    # later identical queries, contaminating benchmarks with cache hits).
-    # Known tradeoff: localCheckpoint truncates lineage, so losing an
-    # executor mid-query fails THIS query instead of transparently
-    # recomputing (persist would recover) — the operator is deterministic
-    # and a rerun is cheap relative to 3-4 guaranteed extra corpus
-    # passes; a deployment preferring in-query recovery over worst-case
-    # cost should swap in reliable checkpoint(): same plan shape, blocks
-    # on the cluster's checkpoint dir.
-    withk = (
-        hashed.join(keepers, "_h")  # shuffle key is the 32-byte hash
-        .select(id_col, text_col, "_keeper")
+    # The keeper agg carries the representative TEXT inside the
+    # aggregation (min_by on the unique id — deterministic, identical to
+    # "the text of the min-id row"), so the full document text never
+    # shuffles by itself: partial aggregation keeps ONE candidate text
+    # per content hash per map task, so the exchange moves at most
+    # #distinct-per-partition texts (a crawl's 10⁶-copy boilerplate page
+    # crosses the wire once per input partition, not 10⁶ times — and in
+    # the all-unique worst case exactly what a plain text shuffle would).
+    # The previous shape (join texts back to keepers on _h, checkpoint
+    # the joined frame) shuffled AND materialized every document's text:
+    # measured 2x this stage's wall at 4M docs / 800x duplication.
+    # Materialized once (eager localCheckpoint) because it feeds the
+    # exact-star join, the minhash signature, and both sides of
+    # jaccard_verify — and AQE submits those consumers' stages
+    # concurrently, so a lazily-shared node would race and recompute.
+    # localCheckpoint over persist(): the checkpoint block store is
+    # released when the DataFrame is garbage-collected (ContextCleaner),
+    # whereas a persist() pins a CacheManager entry for the life of the
+    # session (and plan-matches later identical queries, contaminating
+    # benchmarks with cache hits). Known tradeoff: localCheckpoint
+    # truncates lineage, so losing an executor mid-query fails THIS
+    # query instead of transparently recomputing — the operator is
+    # deterministic and a rerun is cheap; a deployment preferring
+    # in-query recovery should swap in reliable checkpoint().
+    keepers = (
+        hashed.groupBy("_h")
+        .agg(
+            F.min(id_col).alias("_keeper"),
+            F.min_by(F.col(text_col), F.col(id_col)).alias(text_col),
+        )
         .localCheckpoint(eager=True)
     )
+    # Star edges need only (id, hash): the corpus is re-derived from the
+    # caller's frame (typically an already-materialized upstream
+    # checkpoint) and shuffles 40 bytes/row, never the text. Two reads
+    # of the input beat one read + one full-text shuffle + one full-text
+    # checkpoint write/read.
     exact_pairs = (
-        withk.filter(F.col(id_col) != F.col("_keeper"))
+        hashed.select(id_col, "_h")
+        .join(keepers.select("_h", "_keeper"), "_h")
+        .filter(F.col(id_col) != F.col("_keeper"))
         .select(
             F.col("_keeper").alias("id_a"),
             F.col(id_col).alias("id_b"),
             F.lit(1.0).alias("jaccard"),
         )
     )
-    reps = withk.filter(F.col(id_col) == F.col("_keeper")).select(id_col, text_col)
+    reps = keepers.select(F.col("_keeper").alias(id_col), text_col)
     sig = minhash_signature(reps, id_col, text_col)
     pairs = lsh_candidate_pairs(sig, id_col)
     near = jaccard_verify(reps, pairs, id_col, text_col, threshold)

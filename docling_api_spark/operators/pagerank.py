@@ -60,12 +60,17 @@ def prepare_edges(edges: DataFrame, src_col: str = "src",
 def pagerank(edges: DataFrame, n_iter: int = 10,
              src_col: str = "src", dst_col: str = "dst",
              d_num: int = D_NUM, d_den: int = D_DEN,
-             scale: int = RANK_SCALE) -> DataFrame:
+             scale: int = RANK_SCALE, cut_lineage: bool = True) -> DataFrame:
     """(node, rank_scaled, rank): ``rank_scaled`` is the exact long the
     iteration produced (the determinism contract — compare THIS across
     runs/engines); ``rank`` is its single-division float convenience.
     Nodes are distinct(src) ∪ distinct(dst); every node starts at
-    floor(scale/N)."""
+    floor(scale/N).
+
+    ``cut_lineage=False`` skips the per-iteration checkpoint, leaving
+    the whole iteration lazily composed — for plan audits only (the
+    branching on ``ranks`` doubles recomputation per round), results
+    are identical."""
     e = prepare_edges(edges, src_col, dst_col)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -129,7 +134,9 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
             (F.lit(base).cast("long") + dang_term
              + F.coalesce("in_mass", F.lit(0).cast("long")))
             .alias("rank_scaled"),
-        ).localCheckpoint(eager=True)
+        )
+        if cut_lineage:
+            ranks = ranks.localCheckpoint(eager=True)
 
     e.unpersist()
     return ranks.select(

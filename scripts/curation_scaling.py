@@ -9,13 +9,22 @@ at 1000 executors):
     exchange on doc_id (classifier.py)
   - hashed_embeddings: explode -> 64 codegen conditional sums -> one
     exchange (embedding.py)
+  - annotate (opt-in, jobs arg): the END-TO-END corpus builder —
+    extraction (mapInArrow) -> quality -> exact+minhash dedup ->
+    decontam -> split -> one funnel agg (plans/corpus_pipeline.py).
+    Heavier per trial; run with trials=2.
 
 Input: the sf0.1 documents table replicated REPLICAS× with re-keyed ids
 (identical bytes at every level, staged once), model weights trained
-once at staging time and loaded from parquet.
+once at staging time and loaded from parquet, plus a 20-doc eval set
+for the decontamination stage.
 
-Usage: python scripts/curation_scaling.py [sf_dir] [trials]
-Writes BENCH/curation_scaling.json and prints a summary line.
+Usage: python scripts/curation_scaling.py [sf_dir] [trials] [jobs] [replicas]
+  jobs: comma list from {nb_score,embeddings,annotate};
+        default "nb_score,embeddings"
+  replicas: staged input replication (default 800); a non-default value
+        keys its summary rows as "<job>_x<replicas>" (floor-sizing runs)
+Writes/merges BENCH/curation_scaling.json and prints a summary line.
 """
 
 from __future__ import annotations
@@ -52,22 +61,36 @@ weights = spark.read.parquet({stage!r} + "/weights")
 meta = json.load(open({stage!r} + "/meta.json"))
 docs.count()  # warm scan (file listing / footer cache), untimed
 
-from docling_api_spark.operators.classifier import nb_score
-t0 = time.time()
-nb_score(docs, weights, meta).agg(F.sum("score_scaled")).collect()
-t_nb = time.time() - t0
+jobs = sys.argv[2].split(",")
+out = {{}}
+if "nb_score" in jobs:
+    from docling_api_spark.operators.classifier import nb_score
+    t0 = time.time()
+    nb_score(docs, weights, meta).agg(F.sum("score_scaled")).collect()
+    out["nb_score"] = time.time() - t0
 
-from docling_api_spark.operators.embedding import hashed_embeddings
-t0 = time.time()
-hashed_embeddings(docs).agg(
-    F.sum(F.element_at("embedding_int", 1))).collect()
-t_emb = time.time() - t0
-print(json.dumps({{"nb_score": t_nb, "embeddings": t_emb}}))
+if "embeddings" in jobs:
+    from docling_api_spark.operators.embedding import hashed_embeddings
+    t0 = time.time()
+    hashed_embeddings(docs).agg(
+        F.sum(F.element_at("embedding_int", 1))).collect()
+    out["embeddings"] = time.time() - t0
+
+if "annotate" in jobs:
+    from docling_api_spark.plans.corpus_pipeline import (
+        annotate_corpus, corpus_funnel)
+    eval_docs = spark.read.parquet({stage!r} + "/eval")
+    t0 = time.time()
+    funnel = corpus_funnel(annotate_corpus(docs, eval_docs))
+    out["annotate"] = time.time() - t0
+    print(json.dumps(funnel), file=sys.stderr)
+
+print(json.dumps(out))
 spark.stop()
 """
 
 
-def stage(sf_dir: str) -> None:
+def stage(sf_dir: str, replicas: int = REPLICAS) -> None:
     sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
 
@@ -79,9 +102,9 @@ def stage(sf_dir: str) -> None:
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text")
     big = base.crossJoin(
-        spark.range(REPLICAS).withColumnRenamed("id", "_rep")
+        spark.range(replicas).withColumnRenamed("id", "_rep")
     ).select(
-        (F.col("doc_id") * REPLICAS + F.col("_rep")).alias("doc_id"),
+        (F.col("doc_id") * replicas + F.col("_rep")).alias("doc_id"),
         "text",
     )
     big.repartition(32).write.mode("overwrite").parquet(f"{STAGE}/docs")
@@ -92,6 +115,11 @@ def stage(sf_dir: str) -> None:
     )
     weights, meta = nb_train(seed, positive="good")
     weights.write.mode("overwrite").parquet(f"{STAGE}/weights")
+    # small eval set for the annotate job's decontamination stage (each
+    # leaked doc has 800 replicated contaminated copies downstream —
+    # realistic work for the broadcast-grams path)
+    base.filter("doc_id < 20").write.mode("overwrite").parquet(
+        f"{STAGE}/eval")
     with open(f"{STAGE}/meta.json", "w") as f:
         json.dump(meta, f)
     spark.stop()
@@ -100,43 +128,67 @@ def stage(sf_dir: str) -> None:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    jobs = (sys.argv[3].split(",") if len(sys.argv) > 3
+            else ["nb_score", "embeddings"])
+    replicas = int(sys.argv[4]) if len(sys.argv) > 4 else REPLICAS
     # staging cache keyed on the staging CONFIG, not mere existence — a
     # REPLICAS/sf_dir change must re-stage or the timings would be
     # measured on stale input while the JSON records the new constants
-    cfg = {"replicas": REPLICAS, "sf_dir": sf_dir}
+    cfg = {"replicas": replicas, "sf_dir": sf_dir}
     cfg_path = f"{STAGE}/stage_config.json"
     cached = None
     if os.path.exists(cfg_path):
         with open(cfg_path) as f:
             cached = json.load(f)
-    if cached != cfg or not os.path.exists(f"{STAGE}/meta.json"):
-        stage(sf_dir)
+    if (cached != cfg or not os.path.exists(f"{STAGE}/meta.json")
+            or not os.path.exists(f"{STAGE}/eval")):
+        stage(sf_dir, replicas)
         with open(cfg_path, "w") as f:
             json.dump(cfg, f)
     snippet = _RUN_SNIPPET.format(repo=str(REPO), stage=STAGE)
     results: dict[int, dict[str, list[float]]] = {
-        lv: {"nb_score": [], "embeddings": []} for lv in LEVELS}
+        lv: {j: [] for j in jobs} for lv in LEVELS}
     for t in range(trials):
         for lv in LEVELS:  # interleaved across levels
             out = subprocess.run(
-                [sys.executable, "-c", snippet, str(lv)],
+                [sys.executable, "-c", snippet, str(lv), ",".join(jobs)],
                 capture_output=True, text=True, check=True,
             ).stdout.strip().splitlines()[-1]
             for k, v in json.loads(out).items():
                 results[lv][k].append(v)
             print(f"trial {t} local[{lv}]: {out}", file=sys.stderr)
-    summary = {"levels": LEVELS, "trials": trials, "replicas": REPLICAS,
-               "raw": {str(lv): results[lv] for lv in LEVELS}}
-    for job in ("nb_score", "embeddings"):
+    # merge into the existing summary so an annotate-only run does not
+    # clobber the nb_score/embeddings evidence (and vice versa)
+    out_path = REPO / "BENCH" / "curation_scaling.json"
+    summary = {}
+    if out_path.exists():
+        with open(out_path) as f:
+            summary = json.load(f)
+    summary.update({"levels": list(LEVELS), "replicas": REPLICAS})
+    summary.setdefault("trials", {})
+    if not isinstance(summary["trials"], dict):  # pre-round-4 format
+        summary["trials"] = {j: summary["trials"]
+                             for j in ("nb_score", "embeddings")}
+    summary.setdefault("raw", {str(lv): {} for lv in LEVELS})
+    # a non-default replication keys its rows explicitly so e.g. a
+    # floor-sizing run (replicas=4) never shadows the headline row
+    keyed = {job: (job if replicas == REPLICAS else f"{job}_x{replicas}")
+             for job in jobs}
+    for job in jobs:
+        key = keyed[job]
+        summary["trials"][key] = trials
         b4, b16 = (min(results[lv][job]) for lv in LEVELS)
-        summary[job] = {
+        summary[key] = {
             "best_local4_s": round(b4, 2), "best_local16_s": round(b16, 2),
             "speedup": round(b4 / b16, 2),
             "efficiency": round(b4 / b16 / (LEVELS[1] / LEVELS[0]), 3),
+            "replicas": replicas,
         }
-    with open(REPO / "BENCH" / "curation_scaling.json", "w") as f:
+        for lv in LEVELS:
+            summary["raw"].setdefault(str(lv), {})[key] = results[lv][job]
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
-    print(json.dumps({k: summary[k] for k in ("nb_score", "embeddings")}))
+    print(json.dumps({keyed[k]: summary[keyed[k]] for k in jobs}))
 
 
 if __name__ == "__main__":

@@ -145,6 +145,20 @@ def _build_bpe_apply(spark, sf_dir):
     return apply_bpe(d, [("t", "h"), ("th", "e")])
 
 
+def _build_pagerank_iter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.pagerank import pagerank
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = d.select(
+        F.pmod("doc_id", F.lit(50)).alias("src"),
+        F.pmod(F.col("doc_id") * 7, F.lit(37)).alias("dst"),
+    ).filter("src != dst")
+    # one un-checkpointed iteration exposes the full lazy plan
+    return pagerank(edges, n_iter=1, cut_lineage=False)
+
+
 def _build_profile(spark, sf_dir):
     from docling_api_spark.operators.profile import corpus_profile
 
@@ -315,6 +329,60 @@ EXTRA_CHECKS = {
                 "exchange on the shard id + a per-shard sort — never the "
                 "range-partitioned global orderBy (which would add a "
                 "sampling pass and a driver-computed range table)",
+    },
+    "curation_group_split": {
+        "must": ["md5"],
+        "must_not": ["Exchange hashpartitioning", "ArrowEvalPython",
+                     "BatchEvalPython", "CartesianProduct"],
+        "note": "leakage-free source-grain split is a pure codegen md5 "
+                "projection — no shuffle in the assignment itself (the "
+                "only exchange is the presentation orderBy), no Python",
+    },
+    "curation_chunk_documents": {
+        "must": ["Generate"],
+        "must_not": ["Exchange hashpartitioning", "ArrowEvalPython",
+                     "BatchEvalPython", "CartesianProduct"],
+        "note": "token-window chunking is one JVM HOF explode chain "
+                "(split -> sequence -> explode -> slice) straight off the "
+                "scan — shard-local, shuffle-free, no Python",
+    },
+    "curation_domain_stats": {
+        "must": ["HashAggregate", "sha2"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "ArrowEvalPython", "BatchEvalPython"],
+        "note": "domain rollup is ONE partial-agg groupBy on the domain "
+                "key; within-domain dup detection rides the agg as a "
+                "32-byte sha2 distinct-count — the document text never "
+                "shuffles",
+    },
+    "pagerank_iteration": {
+        "build": _build_pagerank_iter,
+        "must": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "must_not": ["CartesianProduct"],
+        "note": "one power iteration = contribution join + ONE partial-agg "
+                "long-sum on dst, with the dangling-mass scalar folded in "
+                "as a broadcast 1-row aggregate (BroadcastNestedLoopJoin) — "
+                "no driver collect inside the loop; per iteration only the "
+                "rank vector shuffles, the edge table stays partitioned",
+    },
+    "corpus_funnel": {
+        "must": ["sha2", "HashAggregate"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython",
+                     "BatchEvalPython"],
+        "note": "the production composition's only post-extraction "
+                "shuffle: a sha-keyed partial-agg keeper groupBy joined "
+                "back onto the (checkpointed once) annotated frame — "
+                "extraction/C4/quality/split all fused upstream of the "
+                "checkpoint, asserted by their own sections",
+    },
+    "dedup_index_matches": {
+        "must": ["sha2", "HashAggregate"],
+        "must_not": ["CartesianProduct", "ArrowEvalPython",
+                     "BatchEvalPython"],
+        "note": "cross-snapshot matching joins the NEW snapshot's 32-byte "
+                "shas against the committed signature index — the "
+                "committed corpus text is never re-read, only the compact "
+                "index flows into the join",
     },
     "corpus_profile": {
         "build": _build_profile,
