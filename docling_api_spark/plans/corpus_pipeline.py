@@ -121,7 +121,8 @@ def annotate_corpus(
     then runs one LM/classifier per language downstream).
     """
     from docling_api_spark.operators.decontam import ngram_decontaminate
-    from docling_api_spark.operators.dedup import minhash_near_duplicates
+    from docling_api_spark.operators.dedup import (
+        jaccard_verify, lsh_candidate_pairs, minhash_signature)
     from docling_api_spark.operators.extract import extract_text_column
     from docling_api_spark.operators.graph import cluster_assignments
     from docling_api_spark.operators.sampling import group_split
@@ -253,42 +254,84 @@ def annotate_corpus(
     else:
         base = base.withColumn("domain_drop", F.lit(False))
 
-    # B) exact dedup over quality+domain survivors: min-id keeper per
-    # content, shuffling only the precomputed 32-byte hash column
+    # B) exact dedup over quality+domain survivors: ONE content groupBy
+    # produces the min-id keeper, the keeper's text, and the copy count
+    # per distinct content. min_by carries the representative text
+    # INSIDE the partial agg (one candidate text per content hash per
+    # map task — a crawl's 10⁶-copy boilerplate page crosses the wire
+    # once per input partition), so the corpus text never shuffles by
+    # itself. Materialized once (eager localCheckpoint): it feeds the
+    # minhash signature, both sides of jaccard_verify, the keeper
+    # filter, and the per-content assembly join — AQE submits those
+    # consumer stages concurrently, so a lazily-shared node would race
+    # and recompute.
     gated = base.filter("ok_quality and not domain_drop")
-    surv = gated.select(id_col, "extracted_text")
     keepers = (
-        gated.select(id_col, "_sha")
+        gated.select(id_col, "_sha", "extracted_text")
         .groupBy("_sha")
-        .agg(F.min(id_col).alias("exact_keeper"))
-    )
-    exact = (
-        gated.select(id_col, "_sha")
-        .join(keepers, "_sha")
-        .select(id_col, "exact_keeper")
+        .agg(
+            F.min(id_col).alias("exact_keeper"),
+            F.min_by("extracted_text", F.col(id_col))
+            .alias("extracted_text"),
+            F.count(F.lit(1)).alias("_n_copies"),
+        )
+        .localCheckpoint(eager=True)
     )
 
-    # C) near-dup clusters over quality survivors (the operator's own
-    # exact-dup prefilter makes B's keepers the representatives); a doc
-    # is dropped when its cluster label names a DIFFERENT doc
-    edges = minhash_near_duplicates(
-        surv, id_col, "extracted_text", near_threshold
+    # C) near-dup clustering over the exact REPRESENTATIVES only —
+    # never the corpus. Every byte-identical member is connected to its
+    # keeper by construction and each keeper is its group's MIN id, so
+    # the min-label CC of the full graph (exact stars + verified near
+    # pairs, what minhash_near_duplicates emits) equals the CC of the
+    # representative-pair graph propagated through the keeper map: a
+    # component's min node id = the min over its representatives. The
+    # previous shape ran CC over the star edges too — an O(corpus)-edge
+    # iteration (every duplicate doc contributed a star edge, each CC
+    # round shuffling the whole id space); this one iterates over the
+    # verified pairs among DISTINCT contents and propagates with one
+    # (AQE-broadcast when small) join. Measured at 16M docs / 3200x
+    # duplication it removes every corpus-sized CC shuffle from the DAG.
+    reps = keepers.select(
+        F.col("exact_keeper").alias(id_col), "extracted_text")
+    rep_edges = jaccard_verify(
+        reps,
+        lsh_candidate_pairs(
+            minhash_signature(reps, id_col, "extracted_text"), id_col),
+        id_col, "extracted_text", near_threshold,
     ).select("id_a", "id_b")
-    clusters = cluster_assignments(edges, id_alias=id_col).select(
-        id_col, "cluster_id"
+    rep_clusters = cluster_assignments(rep_edges, id_alias="_rep").select(
+        "_rep", F.col("cluster_id").alias("_rep_cluster"))
+
+    # per-CONTENT verdict row (one row per distinct _sha): the keeper id
+    # and the propagated cluster label — a rep in a near-dup component
+    # takes its component's min rep id; a pure-exact group (>1 copy,
+    # rep unclustered) labels by its keeper (matching CC over the full
+    # star graph); unique unclustered content stays NULL. Joined back to
+    # base on _sha at assembly, so per-doc dedup verdicts cost ZERO
+    # corpus-sized shuffles beyond the keeper groupBy itself.
+    content_info = (
+        keepers.join(
+            rep_clusters, F.col("exact_keeper") == F.col("_rep"), "left")
+        .select(
+            "_sha", "exact_keeper",
+            F.coalesce(
+                F.col("_rep_cluster"),
+                F.when(F.col("_n_copies") > 1, F.col("exact_keeper")),
+            ).alias("cluster_id"),
+        )
     )
 
     # D) cross-snapshot dedup over this batch's dedup keepers only: the
     # committed corpus text is never read (compact sha+minhash index);
     # raw text re-joins from the input because the index grain is the
-    # pre-extraction payload (what `cli dedup-index` commits)
+    # pre-extraction payload (what `cli dedup-index` commits). Keepers =
+    # unclustered reps + cluster-leading reps, read straight off the
+    # (distinct-contents-sized) keeper frame — no corpus join.
     dedup_keepers = (
-        surv.join(exact, id_col)
-        .filter(F.col(id_col) == F.col("exact_keeper"))
-        .join(clusters, id_col, "left")
+        reps.join(rep_clusters, F.col(id_col) == F.col("_rep"), "left")
         .filter(
-            F.col("cluster_id").isNull()
-            | (F.col("cluster_id") == F.col(id_col))
+            F.col("_rep_cluster").isNull()
+            | (F.col("_rep_cluster") == F.col(id_col))
         )
         .select(id_col, "extracted_text")
     )
@@ -327,25 +370,30 @@ def annotate_corpus(
         decontam_n,
     ).select(id_col, F.lit(True).alias("contaminated"))
 
-    joined = (
-        base.join(exact, id_col, "left")
-        .join(clusters, id_col, "left")
-        .join(contaminated, id_col, "left")
-    )
+    # assembly: per-content verdicts re-attach on the 32-byte _sha (1:N,
+    # content_info is unique per _sha; AQE broadcasts it when the
+    # distinct-content side is small). The when(gate, ...) guard keeps
+    # dedup columns NULL on docs that never entered the dedup funnel
+    # (failed quality / dropped domain) even when their bytes coincide
+    # with a gated document's.
+    joined = base.join(content_info, "_sha", "left").join(
+        contaminated, id_col, "left")
     if snap is not None:
         joined = joined.join(snap, id_col, "left")
     else:
         joined = joined.withColumn("snapshot_dup", F.lit(None).cast("boolean"))
+    gate = F.col("ok_quality") & ~F.col("domain_drop")
     annotated = (
         joined.select(
             base["*"],
-            "exact_keeper",
+            F.when(gate, F.col("exact_keeper")).alias("exact_keeper"),
             F.coalesce(
-                F.col("exact_keeper") != F.col(id_col), F.lit(False)
+                gate & (F.col("exact_keeper") != F.col(id_col)),
+                F.lit(False),
             ).alias("is_exact_dup"),
-            "cluster_id",
+            F.when(gate, F.col("cluster_id")).alias("cluster_id"),
             F.coalesce(
-                (F.col("cluster_id") != F.col(id_col))
+                gate & (F.col("cluster_id") != F.col(id_col))
                 & (F.col("exact_keeper") == F.col(id_col)),
                 F.lit(False),
             ).alias("is_near_dup"),
