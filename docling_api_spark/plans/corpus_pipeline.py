@@ -119,6 +119,17 @@ def annotate_corpus(
     outside the allow-set fold into the quality gate with their own
     ``lang_drop`` flag / ``n_lang_dropped`` counter (a real pipeline
     then runs one LM/classifier per language downstream).
+
+    Shape at scale: corpus-sized work is ONE extraction map stage, ONE
+    sha-keyed groupBy (which also carries each content's representative
+    text and copy count), and ONE _sha-keyed assembly join back. The
+    minhash/LSH/verify/connected-components machinery runs over DISTINCT
+    contents only — a crawl's million-copy boilerplate page costs the
+    near-dup stage one row — and the per-content verdict (keeper id +
+    propagated cluster label) re-attaches to the corpus by hash, never
+    by re-clustering members (provably identical labels: every exact
+    member connects to its min-id keeper by construction, so the full
+    graph's min-label CC factors through the representative graph).
     """
     from docling_api_spark.operators.decontam import ngram_decontaminate
     from docling_api_spark.operators.dedup import (
