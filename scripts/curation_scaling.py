@@ -19,11 +19,32 @@ Input: the sf0.1 documents table replicated REPLICAS× with re-keyed ids
 once at staging time and loaded from parquet, plus a 20-doc eval set
 for the decontamination stage.
 
-Usage: python scripts/curation_scaling.py [sf_dir] [trials] [jobs] [replicas]
+Usage: python scripts/curation_scaling.py [sf_dir] [trials] [jobs]
+                                           [replicas] [levels]
   jobs: comma list from {nb_score,embeddings,annotate};
         default "nb_score,embeddings"
   replicas: staged input replication (default 800); a non-default value
-        keys its summary rows as "<job>_x<replicas>" (floor-sizing runs)
+        keys its summary rows as "<job>_x<replicas>" (floor-sizing runs).
+        A COMMA LIST (e.g. "800,3200") stages every size side by side
+        and interleaves trials across ALL (replicas, level) cells in one
+        invocation — same-phase measurements on a noisy shared host —
+        and additionally emits a "<job>_variable_<a>_<b>" row per
+        adjacent size pair: the size-DIFFERENCED wall at each level,
+        i.e. the marginal cost of the extra input with every fixed cost
+        (JVM, planning, broadcast, CC round floor) subtracted — the
+        quantity that actually extrapolates to 100 TB.
+  levels: "N,4N" parallelism pair (default "4,16"). The end-to-end
+        annotate job measurably demands ~1.3 HARDWARE threads per Spark
+        core (JVM expression pipeline + per-task Arrow writer thread +
+        GC + the Python kernel worker; ps-sampled: local[4] sustains
+        ~520% total CPU, java ~380% + python ~145%), so local[16] asks
+        for ~21 threads on this 32-vCPU VM — inside the hypervisor-
+        contended region where pure-CPU multiprocessing already
+        delivers only ~50-60% of nominal per-core (BENCH/BASELINE.md
+        raw-ceiling rows). For such dual-sided jobs pass "2,8": the
+        same 4x cluster-size ratio with both levels' demand (~2.6 and
+        ~10.4 threads) inside the linear region. Non-default levels key
+        their rows with an "@lo_hi" suffix.
 Writes/merges BENCH/curation_scaling.json and prints a summary line.
 """
 
@@ -53,12 +74,25 @@ from docling_api_spark.session import get_spark
 import pyspark.sql.functions as F
 
 level = int(sys.argv[1])
+stage = sys.argv[3]
+# scan grain: the staged input is only ~0.5-1.8 GB of parquet, so the
+# default 128 MB split size bin-packs it into ~16 scan partitions — ONE
+# task per core at local[16], zero wave slack, and any straggler gates
+# the whole stage (event-log audit: the extraction stage lost ~35% of
+# its slot-time to stragglers at 16 tasks; at 112 tasks occupancy is
+# ~96%). A real cluster run never sees this — 100 TB is ~10^6 splits,
+# 2-4 waves per core at any executor count — so the harness pins a
+# split size that gives every level the same multi-wave grain the big
+# job would have. Shuffle partitions likewise: 4 waves at the largest
+# level, AQE coalesces what is oversplit.
 spark = get_spark(app_name=f"curation_scale_{{level}}",
                   master=f"local[{{level}}]",
-                  shuffle_partitions=max(level, 8))
-docs = spark.read.parquet({stage!r} + "/docs")
-weights = spark.read.parquet({stage!r} + "/weights")
-meta = json.load(open({stage!r} + "/meta.json"))
+                  shuffle_partitions=4 * level,
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": "16m"}})
+docs = spark.read.parquet(stage + "/docs")
+weights = spark.read.parquet(stage + "/weights")
+meta = json.load(open(stage + "/meta.json"))
 docs.count()  # warm scan (file listing / footer cache), untimed
 
 jobs = sys.argv[2].split(",")
@@ -79,7 +113,7 @@ if "embeddings" in jobs:
 if "annotate" in jobs:
     from docling_api_spark.plans.corpus_pipeline import (
         annotate_corpus, corpus_funnel)
-    eval_docs = spark.read.parquet({stage!r} + "/eval")
+    eval_docs = spark.read.parquet(stage + "/eval")
     t0 = time.time()
     funnel = corpus_funnel(annotate_corpus(docs, eval_docs))
     out["annotate"] = time.time() - t0
@@ -90,7 +124,8 @@ spark.stop()
 """
 
 
-def stage(sf_dir: str, replicas: int = REPLICAS) -> None:
+def stage(sf_dir: str, replicas: int = REPLICAS,
+          stage_dir: str = STAGE) -> None:
     sys.path.insert(0, str(REPO))
     from pyspark.sql import functions as F
 
@@ -107,22 +142,64 @@ def stage(sf_dir: str, replicas: int = REPLICAS) -> None:
         (F.col("doc_id") * replicas + F.col("_rep")).alias("doc_id"),
         "text",
     )
-    big.repartition(32).write.mode("overwrite").parquet(f"{STAGE}/docs")
+    big.repartition(32).write.mode("overwrite").parquet(f"{stage_dir}/docs")
     seed = base.select(
         "doc_id", "text",
         F.when(F.col("doc_id") % 3 != 0, "good").otherwise("junk")
         .alias("label"),
     )
     weights, meta = nb_train(seed, positive="good")
-    weights.write.mode("overwrite").parquet(f"{STAGE}/weights")
+    weights.write.mode("overwrite").parquet(f"{stage_dir}/weights")
     # small eval set for the annotate job's decontamination stage (each
-    # leaked doc has 800 replicated contaminated copies downstream —
+    # leaked doc has REPLICAS replicated contaminated copies downstream —
     # realistic work for the broadcast-grams path)
     base.filter("doc_id < 20").write.mode("overwrite").parquet(
-        f"{STAGE}/eval")
-    with open(f"{STAGE}/meta.json", "w") as f:
+        f"{stage_dir}/eval")
+    with open(f"{stage_dir}/meta.json", "w") as f:
         json.dump(meta, f)
     spark.stop()
+
+
+def code_key() -> str:
+    """Fingerprint of the code paths whose change invalidates pooled
+    trials (same contract as scaling_bench.results_key)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in sorted(
+        ("scripts/curation_scaling.py",  # the harness IS the experiment
+         "docling_api_spark/plans/corpus_pipeline.py",
+         "docling_api_spark/operators/classifier.py",
+         "docling_api_spark/operators/embedding.py",
+         "docling_api_spark/operators/dedup.py",
+         "docling_api_spark/operators/graph.py",
+         "docling_api_spark/operators/decontam.py",
+         "docling_api_spark/operators/heuristics.py",
+         "docling_api_spark/operators/textstats.py",
+         "docling_api_spark/operators/sampling.py",
+         "docling_api_spark/operators/extract.py",
+         "docling_api_spark/extraction/kernel.py",
+         "docling_api_spark/session.py")
+    ):
+        h.update((REPO / rel).read_bytes())
+    return h.hexdigest()[:16]
+
+
+def _ensure_staged(sf_dir: str, replicas: int, stage_dir: str) -> None:
+    # staging cache keyed on the staging CONFIG, not mere existence — a
+    # REPLICAS/sf_dir change must re-stage or the timings would be
+    # measured on stale input while the JSON records the new constants
+    cfg = {"replicas": replicas, "sf_dir": sf_dir}
+    cfg_path = f"{stage_dir}/stage_config.json"
+    cached = None
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cached = json.load(f)
+    if (cached != cfg or not os.path.exists(f"{stage_dir}/meta.json")
+            or not os.path.exists(f"{stage_dir}/eval")):
+        stage(sf_dir, replicas, stage_dir)
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
 
 
 def main() -> None:
@@ -130,33 +207,34 @@ def main() -> None:
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     jobs = (sys.argv[3].split(",") if len(sys.argv) > 3
             else ["nb_score", "embeddings"])
-    replicas = int(sys.argv[4]) if len(sys.argv) > 4 else REPLICAS
-    # staging cache keyed on the staging CONFIG, not mere existence — a
-    # REPLICAS/sf_dir change must re-stage or the timings would be
-    # measured on stale input while the JSON records the new constants
-    cfg = {"replicas": replicas, "sf_dir": sf_dir}
-    cfg_path = f"{STAGE}/stage_config.json"
-    cached = None
-    if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            cached = json.load(f)
-    if (cached != cfg or not os.path.exists(f"{STAGE}/meta.json")
-            or not os.path.exists(f"{STAGE}/eval")):
-        stage(sf_dir, replicas)
-        with open(cfg_path, "w") as f:
-            json.dump(cfg, f)
-    snippet = _RUN_SNIPPET.format(repo=str(REPO), stage=STAGE)
-    results: dict[int, dict[str, list[float]]] = {
-        lv: {j: [] for j in jobs} for lv in LEVELS}
+    sizes = (sorted(int(r) for r in sys.argv[4].split(","))
+             if len(sys.argv) > 4 else [REPLICAS])
+    levels = (tuple(int(x) for x in sys.argv[5].split(","))
+              if len(sys.argv) > 5 else LEVELS)
+    assert len(levels) == 2 and levels[1] == 4 * levels[0], levels
+    suffix = "" if levels == LEVELS else f"@{levels[0]}_{levels[1]}"
+    # single size keeps the historical staging path; a size matrix
+    # stages each replication side by side so one invocation can
+    # interleave across every (replicas, level) cell
+    dirs = {r: (STAGE if len(sizes) == 1 else f"{STAGE}_x{r}")
+            for r in sizes}
+    for r in sizes:
+        _ensure_staged(sf_dir, r, dirs[r])
+    snippet = _RUN_SNIPPET.format(repo=str(REPO))
+    results: dict[tuple[int, int], dict[str, list[float]]] = {
+        (r, lv): {j: [] for j in jobs} for r in sizes for lv in levels}
     for t in range(trials):
-        for lv in LEVELS:  # interleaved across levels
-            out = subprocess.run(
-                [sys.executable, "-c", snippet, str(lv), ",".join(jobs)],
-                capture_output=True, text=True, check=True,
-            ).stdout.strip().splitlines()[-1]
-            for k, v in json.loads(out).items():
-                results[lv][k].append(v)
-            print(f"trial {t} local[{lv}]: {out}", file=sys.stderr)
+        for r in sizes:
+            for lv in levels:  # interleaved: host drift hits cells alike
+                out = subprocess.run(
+                    [sys.executable, "-c", snippet, str(lv),
+                     ",".join(jobs), dirs[r]],
+                    capture_output=True, text=True, check=True,
+                ).stdout.strip().splitlines()[-1]
+                for k, v in json.loads(out).items():
+                    results[(r, lv)][k].append(v)
+                print(f"trial {t} x{r} local[{lv}]: {out}",
+                      file=sys.stderr, flush=True)
     # merge into the existing summary so an annotate-only run does not
     # clobber the nb_score/embeddings evidence (and vice versa)
     out_path = REPO / "BENCH" / "curation_scaling.json"
@@ -170,25 +248,64 @@ def main() -> None:
         summary["trials"] = {j: summary["trials"]
                              for j in ("nb_score", "embeddings")}
     summary.setdefault("raw", {str(lv): {} for lv in LEVELS})
-    # a non-default replication keys its rows explicitly so e.g. a
-    # floor-sizing run (replicas=4) never shadows the headline row
-    keyed = {job: (job if replicas == REPLICAS else f"{job}_x{replicas}")
-             for job in jobs}
+    # pool raw trials across invocations of the identical job on the
+    # identical code (same estimator as scaling_bench's trials_history:
+    # more samples of the same experiment -> a better single-tenant
+    # capability estimate per CELL, and same-phase pairs accumulated
+    # across runs stop a single noisy invocation from fixing the
+    # best-of pairing). A code change resets the pool.
+    ck = code_key()
+    if summary.get("code_key") != ck:
+        summary["raw"] = {str(lv): {} for lv in LEVELS}
+        summary["code_key"] = ck
+    pooled: dict[tuple[int, int], dict[str, list[float]]] = {}
+    printed = {}
     for job in jobs:
-        key = keyed[job]
-        summary["trials"][key] = trials
-        b4, b16 = (min(results[lv][job]) for lv in LEVELS)
-        summary[key] = {
-            "best_local4_s": round(b4, 2), "best_local16_s": round(b16, 2),
-            "speedup": round(b4 / b16, 2),
-            "efficiency": round(b4 / b16 / (LEVELS[1] / LEVELS[0]), 3),
-            "replicas": replicas,
-        }
-        for lv in LEVELS:
-            summary["raw"].setdefault(str(lv), {})[key] = results[lv][job]
+        for r in sizes:
+            key = (job if r == REPLICAS else f"{job}_x{r}") + suffix
+            for lv in levels:
+                prior = summary["raw"].setdefault(str(lv), {}).get(key, [])
+                merged = list(prior) + results[(r, lv)][job]
+                summary["raw"][str(lv)][key] = merged
+                pooled.setdefault((r, lv), {})[job] = merged
+            summary["trials"][key] = len(pooled[(r, levels[0])][job])
+            b_lo, b_hi = (min(pooled[(r, lv)][job]) for lv in levels)
+            summary[key] = {
+                f"best_local{levels[0]}_s": round(b_lo, 2),
+                f"best_local{levels[1]}_s": round(b_hi, 2),
+                "speedup": round(b_lo / b_hi, 2),
+                "efficiency": round(
+                    b_lo / b_hi / (levels[1] / levels[0]), 3),
+                "replicas": r,
+                "levels": list(levels),
+            }
+            printed[key] = summary[key]
+        # size-differenced variable part per adjacent size pair: the
+        # marginal wall of (big − small) extra input at each level — the
+        # per-level best is a capability estimate for that cell, and the
+        # difference of capabilities subtracts every input-independent
+        # fixed cost (JVM, planning, broadcast builds, CC round floor)
+        for lo, hi in zip(sizes, sizes[1:]):
+            d_lo = (min(pooled[(hi, levels[0])][job])
+                    - min(pooled[(lo, levels[0])][job]))
+            d_hi = (min(pooled[(hi, levels[1])][job])
+                    - min(pooled[(lo, levels[1])][job]))
+            key = f"{job}_variable_x{lo}_x{hi}" + suffix
+            summary["trials"][key] = len(pooled[(hi, levels[0])][job])
+            summary[key] = {
+                f"delta_local{levels[0]}_s": round(d_lo, 2),
+                f"delta_local{levels[1]}_s": round(d_hi, 2),
+                "speedup": round(d_lo / d_hi, 2) if d_hi > 0 else None,
+                "efficiency": (
+                    round(d_lo / d_hi / (levels[1] / levels[0]), 3)
+                    if d_hi > 0 else None),
+                "replicas_pair": [lo, hi],
+                "levels": list(levels),
+            }
+            printed[key] = summary[key]
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
-    print(json.dumps({keyed[k]: summary[keyed[k]] for k in jobs}))
+    print(json.dumps(printed))
 
 
 if __name__ == "__main__":
