@@ -161,14 +161,18 @@ def stage(sf_dir: str, replicas: int = REPLICAS,
 
 
 def code_key() -> str:
-    """Fingerprint of the code paths whose change invalidates pooled
-    trials (same contract as scaling_bench.results_key)."""
+    """Fingerprint of everything whose change invalidates pooled trials
+    (same contract as scaling_bench.results_key): the measured modules
+    plus the EXPERIMENT DEFINITION (_RUN_SNIPPET + stage()) — but not
+    this file's summary math, which does not affect measurements."""
     import hashlib
+    import inspect
 
     h = hashlib.sha256()
+    h.update(_RUN_SNIPPET.encode())
+    h.update(inspect.getsource(stage).encode())
     for rel in sorted(
-        ("scripts/curation_scaling.py",  # the harness IS the experiment
-         "docling_api_spark/plans/corpus_pipeline.py",
+        ("docling_api_spark/plans/corpus_pipeline.py",
          "docling_api_spark/operators/classifier.py",
          "docling_api_spark/operators/embedding.py",
          "docling_api_spark/operators/dedup.py",
@@ -292,6 +296,24 @@ def main() -> None:
                     - min(pooled[(lo, levels[1])][job]))
             key = f"{job}_variable_x{lo}_x{hi}" + suffix
             summary["trials"][key] = len(pooled[(hi, levels[0])][job])
+            # per-ROUND efficiency: every invocation measures all four
+            # cells within one interleaved round, so equal indices in
+            # the pooled raw lists are SAME-PHASE measurements — the
+            # per-round ratio is immune to the cross-phase pairing bias
+            # of min-over-pool (low levels converge to their best in any
+            # phase, high levels need a quiet one, so best-pairing is
+            # biased conservative on a busy host)
+            n_rounds = min(len(pooled[(r2, lv)][job])
+                           for r2 in (lo, hi) for lv in levels)
+            per_round = []
+            for i in range(n_rounds):
+                rd_lo = (pooled[(hi, levels[0])][job][i]
+                         - pooled[(lo, levels[0])][job][i])
+                rd_hi = (pooled[(hi, levels[1])][job][i]
+                         - pooled[(lo, levels[1])][job][i])
+                if rd_hi > 0:
+                    per_round.append(round(
+                        rd_lo / rd_hi / (levels[1] / levels[0]), 3))
             summary[key] = {
                 f"delta_local{levels[0]}_s": round(d_lo, 2),
                 f"delta_local{levels[1]}_s": round(d_hi, 2),
@@ -299,6 +321,9 @@ def main() -> None:
                 "efficiency": (
                     round(d_lo / d_hi / (levels[1] / levels[0]), 3)
                     if d_hi > 0 else None),
+                "per_round_efficiency": per_round,
+                "best_round_efficiency": (max(per_round)
+                                          if per_round else None),
                 "replicas_pair": [lo, hi],
                 "levels": list(levels),
             }
