@@ -85,7 +85,11 @@ class ExtractOptions:
                  max_payload_chars: int = MAX_PAYLOAD_CHARS):
         if output_format not in ("markdown", "json", "both"):
             raise ValueError(f"invalid output_format: {output_format!r}")
-        if not isinstance(max_payload_chars, int) or max_payload_chars < 1:
+        # bool is an int subclass: True would silently set the cap to 1
+        # and error-out every non-empty document — reject it explicitly
+        if (isinstance(max_payload_chars, bool)
+                or not isinstance(max_payload_chars, int)
+                or max_payload_chars < 1):
             raise ValueError(
                 f"invalid max_payload_chars: {max_payload_chars!r}")
         self.output_format = output_format

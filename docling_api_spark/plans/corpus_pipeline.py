@@ -42,16 +42,17 @@ from pyspark.sql import functions as F
 DEFAULT_SPLITS = (("train", 9000), ("val", 500), ("test", 500))
 
 # Assembly broadcast bound: the per-content verdict table (one row per
-# DISTINCT content that survived the quality/domain gates — 32-byte sha
-# + 2 longs + 2 bools ≈ 60 B/row) is broadcast into the corpus join when
+# DISTINCT content that survived the quality/domain gates — Spark sha2
+# returns a 64-char HEX STRING, so 64 B of hash + 2 longs + 2 bools +
+# UnsafeRow overhead ≈ 110 B/row) is broadcast into the corpus join when
 # it is provably small, which removes the corpus-side exchange entirely.
 # Above the bound the hint is omitted and the planner shuffles the
 # corpus ONCE on _sha — at real crawl scale (billions of distinct
 # contents) that single hash exchange is the honest minimum for
 # attaching per-content verdicts, and AQE still downgrades to broadcast
-# when runtime stats allow. 1M rows ≈ 60 MB, just under the session's
-# 64 MB autoBroadcastJoinThreshold.
-_BROADCAST_CONTENT_ROWS = 1_000_000
+# when runtime stats allow. 500k rows ≈ 55 MB, just under the session's
+# 64 MB autoBroadcastJoinThreshold (1M rows would be ~110 MB — 2x over).
+_BROADCAST_CONTENT_ROWS = 500_000
 
 
 def annotate_corpus(

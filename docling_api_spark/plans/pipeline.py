@@ -436,7 +436,16 @@ def job_status(spark: SparkSession, output_dir: str) -> DataFrame:
     """The reference's GET /v1/status analog (documents.py:302-339): job
     state derived from committed lineage, not from mutable driver state."""
     manifest = Manifest(output_dir)
-    lineage = spark.read.parquet(f"{output_dir}/lineage")
+    from docling_api_spark.schema import LINEAGE_SCHEMA
+    # Read with the EXPLICIT current schema, not footer inference: a
+    # resumed pre-upgrade output dir holds lineage files written before
+    # n_oversize existed next to post-upgrade ones, and an inferred read
+    # would adopt whichever file's footer Spark samples first (the column
+    # flickering in and out run-to-run). With the pinned schema, old rows
+    # deterministically surface n_oversize as NULL ("recorded before the
+    # counter existed"), new rows carry the real count.
+    lineage = spark.read.schema(LINEAGE_SCHEMA).parquet(
+        f"{output_dir}/lineage")
     done = manifest.committed_buckets()
     return lineage.filter(F.col("partition_id").isin(sorted(done))).orderBy(
         "run_id", "partition_id"

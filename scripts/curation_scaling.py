@@ -246,22 +246,31 @@ def main() -> None:
     if out_path.exists():
         with open(out_path) as f:
             summary = json.load(f)
-    summary.update({"levels": list(LEVELS), "replicas": REPLICAS})
-    summary.setdefault("trials", {})
-    if not isinstance(summary["trials"], dict):  # pre-round-4 format
-        summary["trials"] = {j: summary["trials"]
-                             for j in ("nb_score", "embeddings")}
-    summary.setdefault("raw", {str(lv): {} for lv in LEVELS})
     # pool raw trials across invocations of the identical job on the
     # identical code (same estimator as scaling_bench's trials_history:
     # more samples of the same experiment -> a better single-tenant
     # capability estimate per CELL, and same-phase pairs accumulated
     # across runs stop a single noisy invocation from fixing the
-    # best-of pairing). A code change resets the pool.
+    # best-of pairing). A code change resets EVERYTHING — raw trials,
+    # per-key summary blocks, and trial counts alike: keeping old
+    # summary rows would attribute pre-change performance evidence to
+    # the new code until every cell happened to be re-run.
     ck = code_key()
     if summary.get("code_key") != ck:
-        summary["raw"] = {str(lv): {} for lv in LEVELS}
-        summary["code_key"] = ck
+        summary = {"code_key": ck}
+    # header records what THIS invocation actually ran (the per-key
+    # blocks carry their own levels/replicas) — never the module
+    # defaults, which a custom run ("2,8" / a replicas matrix) does
+    # not use
+    summary.pop("levels", None)
+    summary.pop("replicas", None)
+    summary["last_run"] = {"levels": list(levels), "replicas": sizes,
+                           "jobs": jobs, "trials": trials}
+    summary.setdefault("trials", {})
+    if not isinstance(summary["trials"], dict):  # pre-round-4 format
+        summary["trials"] = {j: summary["trials"]
+                             for j in ("nb_score", "embeddings")}
+    summary.setdefault("raw", {str(lv): {} for lv in levels})
     pooled: dict[tuple[int, int], dict[str, list[float]]] = {}
     printed = {}
     for job in jobs:
@@ -296,21 +305,30 @@ def main() -> None:
                     - min(pooled[(lo, levels[1])][job]))
             key = f"{job}_variable_x{lo}_x{hi}" + suffix
             summary["trials"][key] = len(pooled[(hi, levels[0])][job])
-            # per-ROUND efficiency: every invocation measures all four
-            # cells within one interleaved round, so equal indices in
-            # the pooled raw lists are SAME-PHASE measurements — the
-            # per-round ratio is immune to the cross-phase pairing bias
-            # of min-over-pool (low levels converge to their best in any
-            # phase, high levels need a quiet one, so best-pairing is
-            # biased conservative on a busy host)
-            n_rounds = min(len(pooled[(r2, lv)][job])
-                           for r2 in (lo, hi) for lv in levels)
-            per_round = []
-            for i in range(n_rounds):
-                rd_lo = (pooled[(hi, levels[0])][job][i]
-                         - pooled[(lo, levels[0])][job][i])
-                rd_hi = (pooled[(hi, levels[1])][job][i]
-                         - pooled[(lo, levels[1])][job][i])
+            # per-ROUND efficiency: ratios are only computed from THIS
+            # invocation's trials, where one interleaved round measures
+            # all four cells back-to-back — SAME-PHASE by construction —
+            # and appended to the rounds accumulated by prior matrix
+            # invocations (same code_key, so same experiment). Pairing
+            # pooled raw lists by index instead would silently cross
+            # invocations when the pool is uneven (e.g. a single-size
+            # run grew one cell's list but not the other's), fabricating
+            # "same-phase" pairs from different host-contention phases.
+            # The per-round ratio is immune to the cross-phase pairing
+            # bias of min-over-pool (low levels converge to their best
+            # in any phase, high levels need a quiet one, so
+            # best-pairing is biased conservative on a busy host).
+            prev = summary.get(key)
+            per_round = (list(prev.get("per_round_efficiency") or [])
+                         if isinstance(prev, dict)
+                         and prev.get("levels") == list(levels)
+                         and prev.get("replicas_pair") == [lo, hi]
+                         else [])
+            for i in range(trials):
+                rd_lo = (results[(hi, levels[0])][job][i]
+                         - results[(lo, levels[0])][job][i])
+                rd_hi = (results[(hi, levels[1])][job][i]
+                         - results[(lo, levels[1])][job][i])
                 if rd_hi > 0:
                     per_round.append(round(
                         rd_lo / rd_hi / (levels[1] / levels[0]), 3))

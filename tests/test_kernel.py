@@ -446,3 +446,7 @@ def test_max_payload_chars_option():
         ExtractOptions(max_payload_chars=0)
     with pytest.raises(ValueError):
         ExtractOptions(max_payload_chars="big")
+    # bool is an int subclass — True would silently mean cap=1 (every
+    # non-empty doc an oversize error row); must fail fast instead
+    with pytest.raises(ValueError):
+        ExtractOptions(max_payload_chars=True)

@@ -285,6 +285,39 @@ def test_lineage_metrics(spark, transcripts, tmp_path):
     assert (lineage["pages"] >= lineage["n_success"]).all()
 
 
+def test_lineage_schema_evolution(spark, transcripts, tmp_path):
+    """A resumed pre-upgrade output dir holds lineage files written
+    before the n_oversize column existed next to post-upgrade ones.
+    job_status must read the mixed directory DETERMINISTICALLY: old rows
+    surface n_oversize as NULL (recorded before the counter existed),
+    new rows carry the real count — never a schema that flickers with
+    whichever file's footer Spark samples first."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.plans.pipeline import job_status, run_extraction
+
+    out = tmp_path / "out"
+    run_extraction(spark, transcripts, str(out), snapshot_id="snap-new",
+                   n_buckets=4)
+    # simulate a pre-upgrade run: append lineage rows WITHOUT n_oversize
+    # (the 10-column layout) into the same directory
+    legacy = (
+        spark.read.parquet(f"{out}/lineage")
+        .drop("n_oversize")
+        .withColumn("run_id", F.lit("legacy-run"))
+        .withColumn("snapshot_id", F.lit("snap-old"))
+    )
+    legacy.coalesce(1).write.mode("append").parquet(f"{out}/lineage")
+
+    status = job_status(spark, str(out)).toPandas()
+    assert "n_oversize" in status.columns
+    old = status[status["snapshot_id"] == "snap-old"]
+    new = status[status["snapshot_id"] == "snap-new"]
+    assert len(old) == 4 and len(new) == 4
+    assert old["n_oversize"].isna().all()
+    assert new["n_oversize"].notna().all() and new["n_oversize"].sum() >= 1
+
+
 def test_compact_and_vacuum(spark, transcripts, tmp_path):
     """Compaction folds multi-run small files into one run per the
     committed set; content identical; vacuum removes orphaned run dirs;
