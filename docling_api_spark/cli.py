@@ -228,6 +228,27 @@ def main(argv: list[str] | None = None) -> None:
                      help="resample = a new salt (fold an epoch in)")
     sel.add_argument("--id-col", default="doc_id")
     sel.add_argument("--text-col", default="text")
+    g = sub.add_parser("gate-stream")
+    g.add_argument("--input", required=True,
+                   help="parquet dir watched for newly landed document "
+                        "files (id + text); reruns with the same "
+                        "checkpoint only process files not yet seen")
+    g.add_argument("--output", required=True,
+                   help="kept docs under <output>/kept/batch=<id>/, "
+                        "per-batch funnels under <output>/gate_log/")
+    g.add_argument("--checkpoint", required=True,
+                   help="Structured Streaming checkpoint dir (exactly-"
+                        "once replay state)")
+    g.add_argument("--seed", required=True,
+                   help="parquet of labeled seed docs to train the NB "
+                        "quality gate (id, text, label)")
+    g.add_argument("--label-col", default="label")
+    g.add_argument("--positive", default="good")
+    g.add_argument("--c4", action="store_true",
+                   help="also apply the C4 heuristic gate per batch")
+    g.add_argument("--max-files-per-trigger", type=int, default=8)
+    g.add_argument("--id-col", default="doc_id")
+    g.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
     # fail fast on a bad --langs BEFORE any Spark work (a typo would
     # otherwise run the whole build and silently drop every doc)
@@ -329,6 +350,50 @@ def main(argv: list[str] | None = None) -> None:
             report["min_score_scaled"] = int(stats["min_score_scaled"])
             report["max_score_scaled"] = int(stats["max_score_scaled"])
         print(json.dumps(report, sort_keys=True))
+    elif args.cmd == "gate-stream":
+        import glob
+        import os
+
+        from docling_api_spark.operators.classifier import nb_train
+        from docling_api_spark.streaming.curate import curation_gate_stream
+
+        seed = spark.read.parquet(args.seed)
+        weights, meta = nb_train(
+            seed, positive=args.positive, label_col=args.label_col,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        q = curation_gate_stream(
+            spark, args.input, args.output, args.checkpoint,
+            weights, meta, c4=args.c4,
+            id_col=args.id_col, text_col=args.text_col,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        # the summary is CUMULATIVE across invocations on the same
+        # output/checkpoint: gate_log is first-write-wins per batch id,
+        # kept/batch=<id> dirs are idempotent overwrites — so
+        # exactly_once compares the rows actually on disk against the
+        # funnel's kept total (double-writes or replay drift would
+        # break the equality)
+        entries = [json.load(open(p)) for p in sorted(glob.glob(
+            os.path.join(args.output, "gate_log", "batch-*.json")))]
+        n_kept = sum(e["n_kept"] for e in entries)
+        kept_rows = 0
+        if any(e["n_kept"] for e in entries):
+            kept_rows = spark.read.parquet(
+                os.path.join(args.output, "kept")).count()
+        summary = {
+            "n_batches": len(entries),
+            "batch_ids": [e["batch_id"] for e in entries],
+            "n_in": sum(e["n_in"] for e in entries),
+            "n_kept": n_kept,
+            "n_fail_valid": sum(e.get("n_fail_valid", 0) for e in entries),
+            "n_fail_classifier": sum(e.get("n_fail_classifier", 0)
+                                     for e in entries),
+            "kept_rows_on_disk": kept_rows,
+            "exactly_once": kept_rows == n_kept,
+        }
+        print(json.dumps(summary, sort_keys=True))
     elif args.cmd == "corpus":
         import os
 

@@ -355,6 +355,16 @@ EXTRA_CHECKS = {
                 "32-byte sha2 distinct-count — the document text never "
                 "shuffles",
     },
+    "curation_mixture": {
+        "must": ["BroadcastHashJoin", "Generate", "md5"],
+        "must_not": ["SortMergeJoin", "CartesianProduct",
+                     "ArrowEvalPython", "BatchEvalPython"],
+        "note": "mixture materialization is a BROADCAST join of the tiny "
+                "rate plan + one explode(sequence) epoch fan-out + a "
+                "codegen md5 fractional-epoch filter — the corpus never "
+                "shuffles for the mix itself (the only exchanges are the "
+                "per-source count rollup and the audit rollup)",
+    },
     "pagerank_iteration": {
         "build": _build_pagerank_iter,
         "must": ["BroadcastNestedLoopJoin", "HashAggregate"],

@@ -164,6 +164,12 @@ def main() -> None:
         "turns": results_turns(all_trials, n),
         "trials_this_run": trials,
         "pooled_trials_per_level": {str(c): n_pool[c] for c in levels},
+        # disambiguation: a pooled "trial" is one bench.py INVOCATION;
+        # each invocation's value is itself the best of this many
+        # back-to-back in-run passes (bench.py records them in detail.*
+        # .trials_turns_per_sec — those lists are NOT extra pooled trials)
+        "intra_run_passes_per_trial": len(
+            results[n].get("trials_turns_per_sec", [])) or None,
         "detail": {str(k): v for k, v in results.items()},
         "all_trials_this_run": {
             str(k): [d["turns_per_sec"] for d in v] for k, v in all_trials.items()
@@ -192,7 +198,10 @@ interleaved across levels and POOLED across invocations of the identical
 job on the identical input (BENCH/trials_history.json, invalidated on
 any extraction-code change); per-level throughput is the best pooled
 trial — the VM shares a physical host and co-tenant load depresses
-individual trials by up to ~1.5x (all trials recorded).
+individual trials by up to ~1.5x (all trials recorded). A pooled
+"trial" is one bench.py invocation; each invocation's value is itself
+the best of 4 back-to-back in-run passes (recorded separately in
+scaling.json as `trials_turns_per_sec` — not extra pooled trials).
 
 | parallelism | wall (s) | turns/sec |
 |---|---|---|
