@@ -167,9 +167,11 @@ def main() -> None:
         # disambiguation: a pooled "trial" is one bench.py INVOCATION;
         # each invocation's value is itself the best of this many
         # back-to-back in-run passes (bench.py records them in detail.*
-        # .trials_turns_per_sec — those lists are NOT extra pooled trials)
+        # .trials_turns_per_sec — those lists are NOT extra pooled
+        # trials). Read from THIS run's detail: a pooled best drawn
+        # from history carries only its winning number, not the passes.
         "intra_run_passes_per_trial": len(
-            results[n].get("trials_turns_per_sec", [])) or None,
+            all_trials[n][0].get("trials_turns_per_sec", [])) or None,
         "detail": {str(k): v for k, v in results.items()},
         "all_trials_this_run": {
             str(k): [d["turns_per_sec"] for d in v] for k, v in all_trials.items()
